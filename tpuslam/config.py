@@ -1,0 +1,158 @@
+"""Typed configuration for the whole engine.
+
+The reference parses one YAML per run with three sections
+(`Tracking::ParseCamParamFile` /root/reference/src/Tracking.cc:174,
+`ParseORBParamFile` :772, `ParseIMUParamFile` :857) and hard-codes most
+other thresholds at point of use. Here every knob is a documented,
+typed field with the reference's defaults, grouped by subsystem.
+
+All capacities are *static* (they become array shapes under `jit`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Camera intrinsics. Reference: /root/reference/src/Tracking.cc:174-770."""
+
+    model: str = "pinhole"  # "pinhole" | "kb8" (Kannala-Brandt-8 fisheye)
+    width: int = 640
+    height: int = 480
+    fx: float = 458.654
+    fy: float = 457.296
+    cx: float = 367.215
+    cy: float = 248.375
+    # Radial-tangential distortion (pinhole) or k1..k4 (kb8).
+    dist: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
+    fps: float = 20.0
+    # Stereo: baseline times fx (reference `mbf`) and depth threshold.
+    bf: float = 0.0
+    th_depth: float = 35.0
+
+    @property
+    def params(self) -> Tuple[float, ...]:
+        return (self.fx, self.fy, self.cx, self.cy)
+
+
+@dataclass(frozen=True)
+class ORBConfig:
+    """Feature extraction. Reference defaults: EuRoC.yaml + ORBextractor ctor
+    (/root/reference/src/ORBextractor.cc:408)."""
+
+    n_features: int = 1024          # padded feature capacity per frame (ref: 1000)
+    scale_factor: float = 1.2       # pyramid scale between levels
+    n_levels: int = 8
+    ini_th_fast: int = 20           # preferred FAST threshold (per-cell)
+    min_th_fast: int = 7            # fallback threshold
+    cell_size: int = 16             # spatial-balance cell (replaces octree, see
+                                    # ORBextractor::DistributeOctTree :537)
+    patch_radius: int = 15          # intensity-centroid orientation patch (ref HALF_PATCH_SIZE)
+    edge_margin: int = 19           # no features closer than this to the border (ref EDGE_THRESHOLD)
+    n_init_features_mult: int = 2   # monocular-init extractor boost (ref 5x, Tracking.cc:838-844)
+
+
+@dataclass(frozen=True)
+class IMUConfig:
+    """IMU noise model. Reference: Tracking::ParseIMUParamFile
+    (/root/reference/src/Tracking.cc:857-981); continuous→discrete scaling
+    Ng*sqrt(freq) at :945-951."""
+
+    freq: float = 200.0
+    noise_gyro: float = 1.7e-4      # continuous-time densities (EuRoC.yaml)
+    noise_acc: float = 2.0e-3
+    walk_gyro: float = 1.9e-5
+    walk_acc: float = 3.0e-3
+    gravity: float = 9.81           # GRAVITY_VALUE, /root/reference/include/ImuTypes.h:41
+    # Body-from-camera extrinsics as a flat 4x4 row-major tuple (Tbc).
+    Tbc: Tuple[float, ...] = tuple(
+        float(v) for v in (1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1)
+    )
+
+
+@dataclass(frozen=True)
+class MatcherConfig:
+    """Hamming matching thresholds. Reference: /root/reference/src/ORBmatcher.cc:36-38
+    and per-call-site ratios."""
+
+    th_high: int = 100
+    th_low: int = 50
+    nn_ratio: float = 0.75          # best/second-best gate (0.7/0.75/0.9 by call site)
+    histo_bins: int = 30            # rotation-consistency histogram
+    check_orientation: bool = True
+    search_radius: float = 15.0     # projection search window (px at level 0)
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Gauss-Newton / LM engine. Reference solver schedules catalogued in
+    SURVEY.md section 2.2 (Optimizer.cc)."""
+
+    pose_rounds: int = 4            # PoseOptimization: 4 rounds x 10 iters (Optimizer.cc:887)
+    pose_iters: int = 10
+    chi2_mono: float = 5.991        # Huber delta^2, 2-dof (Optimizer.cc:930)
+    chi2_stereo: float = 7.815      # 3-dof (Optimizer.cc:931)
+    ba_iters: int = 10              # local BA LM iterations
+    ba_lambda0: float = 1e-4        # initial LM damping
+    dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Fixed capacities of the SoA map pools (replace the KeyFrame/MapPoint
+    pointer graph, /root/reference/include/KeyFrame.h, MapPoint.h)."""
+
+    max_keyframes: int = 512
+    max_points: int = 32768
+    local_window: int = 16          # KFs in the local-BA first ring (ref covisible set)
+    local_fixed: int = 8            # fixed anchor KFs (second ring)
+    ba_point_cap: int = 8192        # landmark capacity of one local-BA problem
+    covis_min_weight: int = 15      # covisibility edge threshold (KeyFrame.cc:449)
+    cull_found_ratio: float = 0.25  # MapPointCulling (LocalMapping.cc:423-427)
+    cull_min_obs: int = 3
+
+
+@dataclass(frozen=True)
+class TrackingConfig:
+    """Tracking state machine thresholds. Reference: /root/reference/src/Tracking.cc."""
+
+    min_matches_motion: int = 20    # TrackWithMotionModel acceptance (Tracking.cc:2954)
+    min_inliers_track: int = 10     # post pose-opt inliers to stay OK
+    min_matches_local: int = 30     # TrackLocalMap success, pure visual (Tracking.cc:3093)
+    kf_min_interval: int = 0        # min frames between KFs
+    kf_max_interval: int = 20       # force KF after this many frames (c1a analog)
+    kf_ref_ratio: float = 0.9       # insert KF if tracked < ratio * ref tracked (c2)
+    recently_lost_frames: int = 100 # ~5 s at 20 fps (time_recently_lost, Tracking.h:343)
+    init_min_matches: int = 100     # monocular init needs this many matches (Tracking.cc:2457)
+    init_min_tri: int = 50          # and this many triangulated points
+
+
+@dataclass(frozen=True)
+class SLAMConfig:
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    orb: ORBConfig = field(default_factory=ORBConfig)
+    imu: IMUConfig = field(default_factory=IMUConfig)
+    matcher: MatcherConfig = field(default_factory=MatcherConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    map: MapConfig = field(default_factory=MapConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    sensor: str = "mono"            # mono | stereo | rgbd | imu_mono | imu_stereo
+    seed: int = 0
+
+    def replace(self, **kw) -> "SLAMConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def euroc_mono_config(**overrides) -> SLAMConfig:
+    """EuRoC machine-hall monocular preset (Examples/Monocular/EuRoC.yaml)."""
+    cam = CameraConfig(
+        width=752, height=480,
+        fx=458.654, fy=457.296, cx=367.215, cy=248.375,
+        dist=(-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05),
+        fps=20.0,
+    )
+    return SLAMConfig(camera=cam, sensor="mono").replace(**overrides)
