@@ -1,0 +1,169 @@
+"""Deterministic synthetic worlds: textured landmark fields rendered along
+known trajectories, with optional IMU simulation.
+
+The reference has no unit-level test data — its only verification is
+EuRoC/TUM-VI dataset runs (SURVEY.md section 4). No dataset ships in this
+container, so the synthetic world is the primary integration fixture: a
+rendered scene with exact ground-truth trajectory gives exact ATE
+expectations, and IMU measurements can be derived analytically from the
+trajectory for visual-inertial tests.
+
+Rendering is host-side numpy (test fixture, not a perf path): each 3D
+landmark carries a unique random texture patch pasted at its projection,
+over a low-frequency background, so FAST/BRIEF have distinctive,
+trackable corners exactly at landmark locations.
+
+Convention: poses are camera-from-world (R_cw, t_cw), matching the
+reference's Tcw; world points X project as uv = proj(R_cw X + t_cw).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclass
+class SyntheticWorld:
+    points: np.ndarray      # (P,3) world landmarks
+    patches: np.ndarray     # (P,ps,ps) float32 textures in [0,255]
+    patch_size: int
+    background: np.ndarray  # (H,W) float32
+    h: int
+    w: int
+    cam: np.ndarray         # [fx,fy,cx,cy]
+
+
+def make_world(
+    n_points: int = 600,
+    h: int = 480,
+    w: int = 640,
+    fx: float = 450.0,
+    seed: int = 0,
+    extent: Tuple[float, float, float] = (8.0, 8.0, 4.0),
+    patch_size: int = 27,
+) -> SyntheticWorld:
+    # patch_size must exceed the BRIEF sampling span (+-13 px around the
+    # keypoint) so descriptors sample landmark texture, not the (screen-
+    # fixed) background, which moves with parallax between views.
+    rng = np.random.default_rng(seed)
+    ex, ey, ez = extent
+    pts = rng.uniform([-ex / 2, -ey / 2, -ez / 2], [ex / 2, ey / 2, ez / 2],
+                      size=(n_points, 3)).astype(np.float32)
+    # High-contrast blocky patches: random binary-ish blobs -> strong FAST
+    # corners and distinctive BRIEF bits.
+    raw = rng.uniform(0, 255, size=(n_points, patch_size, patch_size))
+    coarse = rng.uniform(0, 255, size=(n_points, 4, 4))
+    up = np.kron(coarse, np.ones((1, (patch_size + 3) // 4, (patch_size + 3) // 4)))
+    patches = (0.65 * up[:, :patch_size, :patch_size] + 0.35 * raw).astype(np.float32)
+
+    # Smooth background (low-frequency) so matching can't cheat on borders.
+    gy, gx = np.mgrid[0:h, 0:w]
+    background = (
+        60
+        + 35 * np.sin(gx / 97.0)
+        + 30 * np.cos(gy / 71.0)
+        + 20 * np.sin((gx + gy) / 53.0)
+    ).astype(np.float32)
+
+    cam = np.array([fx, fx, w / 2.0, h / 2.0], np.float32)
+    return SyntheticWorld(pts, patches, patch_size, background, h, w, cam)
+
+
+def look_at(eye: np.ndarray, target: np.ndarray, up=(0.0, 0.0, 1.0)):
+    """Camera-from-world pose for a camera at `eye` looking at `target`.
+
+    Camera axes: +z forward (optical), +x right, +y down (OpenCV style).
+    Returns (R_cw, t_cw).
+    """
+    eye = np.asarray(eye, np.float64)
+    fwd = np.asarray(target, np.float64) - eye
+    fwd /= np.linalg.norm(fwd)
+    upv = np.asarray(up, np.float64)
+    right = np.cross(fwd, upv)
+    nr = np.linalg.norm(right)
+    if nr < 1e-6:  # forward parallel to up; pick another up
+        upv = np.array([0.0, 1.0, 0.0])
+        right = np.cross(fwd, upv)
+        nr = np.linalg.norm(right)
+    right /= nr
+    down = np.cross(fwd, right)
+    R_wc = np.stack([right, down, fwd], axis=1)  # columns = cam axes in world
+    R_cw = R_wc.T
+    t_cw = -R_cw @ eye
+    return R_cw.astype(np.float32), t_cw.astype(np.float32)
+
+
+def orbit_trajectory(n_frames: int, radius: float = 9.0, height: float = 1.5,
+                     arc: float = 0.8 * np.pi, target=(0.0, 0.0, 0.0),
+                     wobble: float = 0.15, seed: int = 1):
+    """Camera orbiting the world center, looking inward. Returns list of
+    (R_cw, t_cw). `wobble` adds smooth out-of-plane motion so the
+    trajectory is not degenerate for BA."""
+    rng = np.random.default_rng(seed)
+    phase = rng.uniform(0, 2 * np.pi, size=3)
+    poses = []
+    for i in range(n_frames):
+        a = arc * i / max(n_frames - 1, 1)
+        eye = np.array(
+            [
+                radius * np.cos(a),
+                radius * np.sin(a),
+                height + wobble * radius * 0.3 * np.sin(3 * a + phase[0]),
+            ]
+        )
+        poses.append(look_at(eye, np.asarray(target)))
+    return poses
+
+
+def project(world: SyntheticWorld, R_cw, t_cw):
+    """Project landmarks: returns uv (P,2), depth (P,), in_view (P,) bool."""
+    Xc = world.points @ R_cw.T + t_cw
+    z = Xc[:, 2]
+    fx, fy, cx, cy = world.cam
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = fx * Xc[:, 0] / z + cx
+        v = fy * Xc[:, 1] / z + cy
+    m = world.patch_size
+    in_view = (
+        (z > 0.5)
+        & (u >= m) & (u < world.w - m)
+        & (v >= m) & (v < world.h - m)
+    )
+    return np.stack([u, v], 1), z, in_view
+
+
+def _blur(img: np.ndarray, passes: int = 2) -> np.ndarray:
+    """Cheap separable [1,2,1]/4 blur, `passes` times (~= Gaussian sigma 1).
+    Models optical/sensor blur: without it the aliased rendering makes FAST
+    corner positions jitter between views, which no real camera does."""
+    out = img
+    for _ in range(passes):
+        p = np.pad(out, 1, mode="edge")
+        out = 0.25 * (2 * p[1:-1, 1:-1] + p[:-2, 1:-1] + p[2:, 1:-1])
+        p = np.pad(out, 1, mode="edge")
+        out = 0.25 * (2 * p[1:-1, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:])
+    return out
+
+
+def render(world: SyntheticWorld, R_cw, t_cw, noise: float = 0.0,
+           seed: int = 0) -> np.ndarray:
+    """Render one grayscale frame (H,W) float32 in [0,255]."""
+    img = world.background.copy()
+    uv, z, in_view = project(world, R_cw, t_cw)
+    ps = world.patch_size
+    half = ps // 2
+    order = np.argsort(-z)  # far first so near landmarks overwrite
+    for i in order:
+        if not in_view[i]:
+            continue
+        cx, cy = int(round(uv[i, 0])), int(round(uv[i, 1]))
+        y0, x0 = cy - half, cx - half
+        img[y0 : y0 + ps, x0 : x0 + ps] = world.patches[i]
+    img = _blur(img)
+    if noise > 0:
+        rng = np.random.default_rng(seed)
+        img = img + rng.normal(0, noise, img.shape).astype(np.float32)
+    return np.clip(img, 0, 255).astype(np.float32)
