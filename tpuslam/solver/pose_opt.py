@@ -1,0 +1,86 @@
+"""Frame pose-only optimization (motion tracking's inner loop).
+
+Re-implements `Optimizer::PoseOptimization` (/root/reference/src/
+Optimizer.cc:887): 4 rounds x 10 iterations, Huber delta = sqrt(5.991)
+(:930), per-round chi-square outlier gating with kernel dropped from
+round 3 (:1120-1237). g2o's LM on a dynamic graph becomes a fixed-shape
+masked Gauss-Newton with mild damping: outlier "removal" is mask
+reweighting, so the whole optimization is ONE jitted program of static
+shape — no graph surgery, no per-edge virtual calls.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuslam.solver import factors
+
+CHI2_MONO = 5.991
+
+
+class PoseOptResult(NamedTuple):
+    R: jax.Array          # (3,3)
+    t: jax.Array          # (3,)
+    inlier: jax.Array     # (N,) bool
+    chi2: jax.Array       # (N,) final squared errors (information-weighted)
+    n_inliers: jax.Array  # () int32
+
+
+@functools.partial(jax.jit, static_argnames=("model", "rounds", "iters"))
+def optimize_pose(
+    R0,
+    t0,
+    X_w,           # (N,3) world points
+    uv,            # (N,2) observations
+    inv_sigma2,    # (N,) information scale (1/level sigma^2)
+    valid,         # (N,) bool
+    cam_params,
+    model: str = "pinhole",
+    rounds: int = 4,
+    iters: int = 10,
+    chi2_th: float = CHI2_MONO,
+    damping: float = 1e-6,
+) -> PoseOptResult:
+    dtype = R0.dtype
+
+    def chi2_of(R, t):
+        pred, Xc = factors.reproj_residual(R, t, X_w, uv, cam_params, model)
+        r = pred - uv
+        c2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+        return r, Xc, c2
+
+    def gn_iter(carry, use_huber):
+        R, t, inlier = carry
+        r, Xc, c2 = chi2_of(R, t)
+        w = inv_sigma2 * inlier.astype(dtype)
+        if use_huber:
+            w = w * factors.huber_weight(c2, chi2_th)
+        J_pose, _ = factors.reproj_jacobians(Xc, R, cam_params, model)
+        H = jnp.einsum("nki,n,nkj->ij", J_pose, w, J_pose)
+        b = -jnp.einsum("nki,n,nk->i", J_pose, w, r)
+        H = H + damping * jnp.eye(6, dtype=dtype) * (1.0 + jnp.trace(H) / 6.0)
+        dx = jnp.linalg.solve(H, b)
+        R, t = factors.apply_pose_update(R, t, dx)
+        return (R, t, inlier)
+
+    R, t = R0, t0
+    inlier = valid
+    for rnd in range(rounds):
+        use_huber = rnd < 2  # reference drops the kernel from round 3
+        carry = (R, t, inlier)
+        carry = jax.lax.fori_loop(
+            0, iters, lambda i, c: gn_iter(c, use_huber), carry
+        )
+        R, t, _ = carry
+        _, _, c2 = chi2_of(R, t)
+        inlier = valid & (c2 <= chi2_th)
+
+    _, _, c2 = chi2_of(R, t)
+    return PoseOptResult(
+        R=R, t=t, inlier=inlier, chi2=c2,
+        n_inliers=jnp.sum(inlier).astype(jnp.int32),
+    )
