@@ -124,8 +124,8 @@ class TrackingConfig:
     min_inliers_track: int = 10     # post pose-opt inliers to stay OK
     min_matches_local: int = 30     # TrackLocalMap success, pure visual (Tracking.cc:3093)
     kf_min_interval: int = 0        # min frames between KFs
-    kf_max_interval: int = 20       # force KF after this many frames (c1a analog)
-    kf_ref_ratio: float = 0.9       # insert KF if tracked < ratio * ref tracked (c2)
+    kf_max_interval: int = 10       # force KF after this many frames (c1a analog)
+    kf_ref_ratio: float = 0.95      # insert KF if tracked < ratio * ref tracked (c2)
     recently_lost_frames: int = 100 # ~5 s at 20 fps (time_recently_lost, Tracking.h:343)
     init_min_matches: int = 100     # monocular init needs this many matches (Tracking.cc:2457)
     init_min_tri: int = 50          # and this many triangulated points

@@ -1,0 +1,88 @@
+"""End-to-end monocular SLAM run on the synthetic world.
+
+The dataset-driver analog of Examples/Monocular/mono_euroc.cc
+(/root/reference/Examples/Monocular/mono_euroc.cc:35): render frames
+along a known orbit, feed them through MonoTracker, report ATE (Horn,
+scale-corrected — evaluation/evaluate_ate_scale.py methodology) and
+timing.
+
+Usage: python -m tpuslam.run_synthetic [--frames N] [--points P] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=120)
+    p.add_argument("--points", type=int, default=500)
+    p.add_argument("--features", type=int, default=1024)
+    p.add_argument("--cpu", action="store_true",
+                   help="force CPU backend (tests/dev)")
+    p.add_argument("--quiet", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from tpuslam.config import CameraConfig, ORBConfig, SLAMConfig
+    from tpuslam.datasets import synthetic
+    from tpuslam.eval import ate
+    from tpuslam.tracking.tracker import MonoTracker
+
+    h, w = 480, 640
+    world = synthetic.make_world(n_points=args.points, h=h, w=w, seed=0)
+    poses = synthetic.orbit_trajectory(args.frames)
+
+    cfg = SLAMConfig(
+        camera=CameraConfig(width=w, height=h, fx=float(world.cam[0]),
+                            fy=float(world.cam[1]), cx=float(world.cam[2]),
+                            cy=float(world.cam[3])),
+        orb=ORBConfig(n_features=args.features),
+    )
+    tracker = MonoTracker(cfg)
+
+    t_render = 0.0
+    t_track = 0.0
+    n_ok = 0
+    for i, (R, t) in enumerate(poses):
+        t0 = time.perf_counter()
+        img = synthetic.render(world, R, t)
+        t_render += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = tracker.process(img)
+        t_track += time.perf_counter() - t0
+        n_ok += out.state == "OK"
+        if not args.quiet and (i % 20 == 0 or out.is_keyframe):
+            print(f"[{i:4d}] {out.state:16s} inliers={out.n_inliers:4d} "
+                  f"kf={tracker.stats['kf']:3d} mp={tracker.stats['mp']:5d}"
+                  f"{' KF' if out.is_keyframe else ''}", flush=True)
+
+    est = tracker.positions()
+    gt = np.stack([-R.T @ t for R, t in poses])
+    # Evaluate only frames after initialization succeeded.
+    ok_from = next((i for i, p in enumerate(tracker.trajectory)
+                    if np.any(p != tracker.trajectory[0])), 0)
+    res = ate.ate(gt[ok_from:], est[ok_from:])
+    fps = (len(poses)) / max(t_track, 1e-9)
+    print(f"frames={len(poses)} tracked_ok={n_ok} "
+          f"kf={tracker.stats['kf']} mp={tracker.stats['mp']}")
+    print(f"ATE rmse={res.rmse:.4f} m  scaled={res.rmse_scaled:.4f} m  "
+          f"scale={res.scale:.3f}")
+    print(f"track {1e3*t_track/len(poses):.1f} ms/frame ({fps:.1f} fps), "
+          f"render {1e3*t_render/len(poses):.1f} ms/frame")
+    return res, tracker
+
+
+if __name__ == "__main__":
+    main()

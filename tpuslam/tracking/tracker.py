@@ -1,0 +1,602 @@
+"""Monocular tracking + synchronous local mapping — the minimum end-to-end
+slice (SURVEY.md section 7.1 M3).
+
+Host-side: a small state machine (the reference's Tracking::Track,
+/root/reference/src/Tracking.cc:1555, keeps its state machine on the host
+too — SURVEY.md section 7.2). Device-side: a handful of fused jitted
+programs with static shapes:
+
+- `_init_match`: windowed descriptor matching for initialization
+  (SearchForInitialization, src/ORBmatcher.cc:722).
+- `_reconstruct`: batched essential RANSAC two-view init
+  (mpCamera->ReconstructWithTwoViews, src/Tracking.cc:2492).
+- `_track_pose`: project local map points -> guided match -> masked GN
+  pose optimization (TrackWithMotionModel + TrackLocalMap collapsed:
+  src/Tracking.cc:2870/2987 — two rounds with shrinking radius replace
+  the reference's separate motion-model and local-map stages).
+- `_triangulate_between`: epipolar-gated matching + batched DLT for new
+  map points (LocalMapping::CreateNewMapPoints, src/LocalMapping.cc:470).
+- local BA via tpuslam.solver.local_ba on a temporal keyframe window
+  (visual analog of LocalInertialBA's Nd-window; the reference's
+  covisibility window arrives with loop closing in a later stage).
+
+The reference's LocalMapping runs in its own thread; here mapping is
+synchronous per keyframe (M3 scope) — the async snapshot pipeline is a
+later stage.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuslam.config import SLAMConfig
+from tpuslam.frontend import extractor, matching
+from tpuslam.frontend.extractor import FrameFeatures
+from tpuslam.geometry import lie, triangulation, two_view
+from tpuslam.mapping import mapstate
+from tpuslam.solver import local_ba, pose_opt
+
+# ---------------------------------------------------------------------------
+# Jitted device programs
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _init_match(fa: FrameFeatures, fb: FrameFeatures):
+    wmask = matching.window_mask(fa.uv, fb.uv, 100.0)
+    res = matching.match(fa.desc, fb.desc, fa.valid, fb.valid, mask=wmask,
+                         max_dist=60, ratio=0.9, mutual=True)
+    return matching.rotation_consistency(fa.angle, fb.angle, res)
+
+
+@functools.partial(jax.jit, static_argnames=("focal",))
+def _reconstruct(b1, b2, valid, key, focal: float):
+    return two_view.reconstruct(b1, b2, valid, key, focal=focal)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "radius1", "radius2"))
+def _track_pose(
+    R0, t0,
+    mp_ids,          # (P,) int32 local map point ids (-1 pad)
+    mp_pos,          # (P,3) gathered positions
+    mp_desc,         # (P,8)
+    mp_level,        # (P,)
+    mp_ok,           # (P,)
+    feats: FrameFeatures,
+    cam_params,
+    scale_lut,       # (L,) scale factor per level
+    inv_sigma2_lut,  # (L,)
+    img_wh,          # (2,) [w, h]
+    model: str = "pinhole",
+    radius1: float = 15.0,
+    radius2: float = 4.0,
+):
+    """Two guided-match + pose-GN rounds against the local map.
+
+    Round 1 with a wide window from the motion-model prediction
+    (TrackWithMotionModel th=15, src/Tracking.cc:2906), round 2 with a
+    tight window from the refined pose (TrackLocalMap's SearchLocalPoints
+    th~1-4, src/Tracking.cc:3449)."""
+    from tpuslam.geometry import cameras
+
+    inv_sigma2_kp = inv_sigma2_lut[jnp.clip(feats.level, 0,
+                                            inv_sigma2_lut.shape[0] - 1)]
+
+    def rnd(R, t, radius, max_dist):
+        Xc = jnp.einsum("ij,pj->pi", R, mp_pos) + t
+        uv = cameras.project(Xc, cam_params, model)
+        in_front = Xc[:, 2] > 0.05
+        in_img = (
+            (uv[:, 0] >= 0) & (uv[:, 0] < img_wh[0])
+            & (uv[:, 1] >= 0) & (uv[:, 1] < img_wh[1])
+        )
+        visible = mp_ok & in_front & in_img
+        # No Lowe ratio here: the frame-tracking SearchByProjection
+        # variants (src/ORBmatcher.cc:44,2027) gate on distance + chi2
+        # only — a ratio test would reject matches whenever the map holds
+        # near-duplicate points.
+        res = matching.search_by_projection(
+            uv, mp_level, visible, mp_desc, feats, scale_lut,
+            radius=radius, max_dist=max_dist, ratio=1.0,
+        )
+        matched = res.idx >= 0
+        kp = jnp.clip(res.idx, 0, feats.capacity - 1)
+        opt = pose_opt.optimize_pose(
+            R, t,
+            mp_pos,
+            feats.uv[kp],
+            inv_sigma2_kp[kp],
+            matched,
+            cam_params,
+            model=model,
+        )
+        return opt, res, visible
+
+    opt1, _, _ = rnd(R0, t0, radius1, matching.TH_HIGH)
+    opt2, _, visible = rnd(opt1.R, opt1.t, radius2, matching.TH_LOW + 25)
+
+    # Final associate-only pass at the refined pose: tight window, chi2
+    # acceptance — maximizes the observation set recorded for keyframe
+    # creation (the role of the final SearchLocalPoints + pose refine in
+    # TrackLocalMap, src/Tracking.cc:2997-3016).
+    Xc = jnp.einsum("ij,pj->pi", opt2.R, mp_pos) + opt2.t
+    uv = cameras.project(Xc, cam_params, model)
+    res2 = matching.search_by_projection(
+        uv, mp_level, visible & (Xc[:, 2] > 0.05), mp_desc, feats,
+        scale_lut, radius=2.0 * radius2, max_dist=matching.TH_LOW + 25,
+        ratio=1.0,
+    )
+    kp = jnp.clip(res2.idx, 0, feats.capacity - 1)
+    r = uv - feats.uv[kp]
+    chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2_kp[kp]
+    # Association gate is deliberately LOOSER than the pose-inlier gate:
+    # freshly triangulated points carry a few px of depth error at these
+    # baselines; BA can only pull them to sub-pixel accuracy if their
+    # re-observations are recorded. The Huber kernel in BA handles the
+    # tail. (Gating associations at the strict chi2 starves BA and the
+    # map decays — observed as monotone per-KF association decline.)
+    good = (res2.idx >= 0) & (chi2 <= 4.0 * pose_opt.CHI2_MONO)
+    assoc = jnp.full((feats.capacity,), -1, jnp.int32)
+    assoc = assoc.at[jnp.where(good, kp, feats.capacity)].set(
+        jnp.where(good, mp_ids, -1), mode="drop"
+    )
+    visible_ids = jnp.where(visible, mp_ids, -1)
+    found_ids = jnp.where(good, mp_ids, -1)
+    return opt2.R, opt2.t, assoc, opt2.n_inliers, visible_ids, found_ids
+
+
+@functools.partial(jax.jit, static_argnames=("focal",))
+def _triangulate_between(
+    ms: mapstate.MapState,
+    slot_i, slot_j,
+    next_free,
+    cam_params,
+    sigma2_lut,      # (L,) sigma^2 per level (px^2)
+    near_pos,        # (P,3) existing local map points (duplicate guard)
+    near_ok,         # (P,)
+    focal: float,
+):
+    """Create new map points between keyframes i and j.
+
+    Epipolar-gated descriptor matching of *unassociated* keypoints
+    (SearchForTriangulation, src/ORBmatcher.cc:981) + batched DLT +
+    checks (LocalMapping::CreateNewMapPoints, src/LocalMapping.cc:470).
+    """
+    from tpuslam.geometry import cameras
+
+    Ri, ti = ms.kf_R[slot_i], ms.kf_t[slot_i]
+    Rj, tj = ms.kf_R[slot_j], ms.kf_t[slot_j]
+
+    free_i = ms.kf_kp_valid[slot_i] & (ms.kf_obs_mp[slot_i] < 0)
+    free_j = ms.kf_kp_valid[slot_j] & (ms.kf_obs_mp[slot_j] < 0)
+
+    bi = cameras.unproject(ms.kf_uv[slot_i], cam_params)
+    bj = cameras.unproject(ms.kf_uv[slot_j], cam_params)
+
+    # Relative pose j<-i and essential matrix.
+    Rji = Rj @ Ri.T
+    tji = tj - Rji @ ti
+    E = lie.hat(tji) @ Rji
+
+    # Epipolar gate threshold per candidate-j keypoint sigma (normalized).
+    sj2 = sigma2_lut[jnp.clip(ms.kf_level[slot_j], 0, sigma2_lut.shape[0] - 1)]
+    ep_th = 3.84 * sj2 / (focal * focal)
+    l2 = jnp.einsum("ij,nj->ni", E, bi)       # epipolar lines in image j (Ni,3)
+    num = jnp.einsum("mi,ni->nm", bj, l2)     # (Ni,Nj): bj^T E bi
+    den = l2[:, None, 0] ** 2 + l2[:, None, 1] ** 2
+    d2 = num * num / jnp.maximum(den, 1e-12)  # (Ni,Nj) dist^2 of bj to line
+    ep_mask = d2 <= ep_th[None, :]            # threshold by j-keypoint sigma
+
+    res = matching.match(
+        ms.kf_desc[slot_i], ms.kf_desc[slot_j], free_i, free_j,
+        mask=ep_mask, max_dist=matching.TH_LOW, ratio=0.9, mutual=True,
+    )
+    matched = res.idx >= 0
+    kp_j = jnp.clip(res.idx, 0, bj.shape[0] - 1)
+
+    X = triangulation.triangulate_dlt(Ri, ti, Rj, tj, bi, bj[kp_j])
+    si2 = sigma2_lut[jnp.clip(ms.kf_level[slot_i], 0, sigma2_lut.shape[0] - 1)]
+    chk = triangulation.check_triangulation(
+        Ri, ti, Rj, tj, X, bi, bj[kp_j],
+        reproj_th2=5.991 * si2,
+        focal=focal,
+    )
+    ok = matched & chk.ok
+    # Duplicate guard (the role of Fuse/SearchInNeighbors,
+    # src/LocalMapping.cc:909): drop candidates that land within 3% of
+    # their depth of an existing local map point — without this, map
+    # points duplicate whenever an association was missed for one frame.
+    d = jnp.linalg.norm(X[:, None, :] - near_pos[None, :, :], axis=-1)
+    d = jnp.where(near_ok[None, :], d, jnp.inf)
+    dup = jnp.min(d, axis=1) < 0.03 * jnp.maximum(chk.z1, 0.1)
+    ok = ok & ~dup
+    ms, n_new = mapstate.add_points(
+        ms, next_free,
+        X, ms.kf_desc[slot_i], ms.kf_level[slot_i], ok,
+        slot_i, jnp.arange(bi.shape[0], dtype=jnp.int32),
+        slot_j, kp_j.astype(jnp.int32),
+    )
+    return ms, n_new
+
+
+@jax.jit
+def _fuse_into_kf(
+    ms: mapstate.MapState,
+    slot,
+    mp_ids,          # (P,) local map point ids
+    cam_params,
+    scale_lut,
+    inv_sigma2_lut,
+    img_wh,
+):
+    """Add missing map-point observations to keyframe `slot` by guided
+    projection into its stored keypoints (ORBmatcher::Fuse,
+    src/ORBmatcher.cc:1425, called from SearchInNeighbors,
+    src/LocalMapping.cc:909). Existing associations are kept; only
+    unassociated keypoints gain links. This densifies the BA graph —
+    without it every point is seen by only the two keyframes that
+    triangulated it and local windows go floppy."""
+    from tpuslam.geometry import cameras
+
+    safe = jnp.clip(mp_ids, 0, ms.mp_capacity - 1)
+    # Skip points this keyframe already observes (they'd get a second,
+    # conflicting keypoint link).
+    obs = ms.kf_obs_mp[slot]
+    already = jnp.zeros((ms.mp_capacity,), bool).at[
+        jnp.where(obs >= 0, obs, ms.mp_capacity)
+    ].set(True, mode="drop")
+    mp_ok = (mp_ids >= 0) & ms.mp_valid[safe] & ~already[safe]
+    pos = ms.mp_pos[safe]
+    R, t = ms.kf_R[slot], ms.kf_t[slot]
+    Xc = jnp.einsum("ij,pj->pi", R, pos) + t
+    uv = cameras.project(Xc, cam_params)
+    visible = (
+        mp_ok & (Xc[:, 2] > 0.05)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < img_wh[0])
+        & (uv[:, 1] >= 0) & (uv[:, 1] < img_wh[1])
+    )
+    feats = FrameFeatures(
+        uv=ms.kf_uv[slot], level=ms.kf_level[slot], angle=ms.kf_uv[slot][:, 0],
+        response=ms.kf_uv[slot][:, 0], desc=ms.kf_desc[slot],
+        valid=ms.kf_kp_valid[slot] & (ms.kf_obs_mp[slot] < 0),
+    )
+    res = matching.search_by_projection(
+        uv, ms.mp_level[safe], visible, ms.mp_desc[safe], feats, scale_lut,
+        radius=6.0, max_dist=50, ratio=1.0,
+    )
+    kp = jnp.clip(res.idx, 0, feats.capacity - 1)
+    r = uv - feats.uv[kp]
+    inv_s2 = inv_sigma2_lut[jnp.clip(feats.level[kp], 0,
+                                     inv_sigma2_lut.shape[0] - 1)]
+    chi2 = jnp.sum(r * r, axis=-1) * inv_s2
+    # Loose gate for the same reason as the tracker's association pass:
+    # BA refines what it can observe.
+    good = (res.idx >= 0) & (chi2 <= 4.0 * pose_opt.CHI2_MONO)
+    tgt = jnp.where(good, kp, feats.capacity)
+    new_obs = ms.kf_obs_mp[slot].at[tgt].set(
+        jnp.where(good, mp_ids, -1), mode="drop"
+    )
+    return ms._replace(kf_obs_mp=ms.kf_obs_mp.at[slot].set(new_obs))
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _run_local_ba(ms: mapstate.MapState, kf_ids, fixed, mp_ids,
+                  local_of_global, inv_sigma2_lut, cam_params,
+                  iters: int = 10):
+    prob = mapstate.build_ba_problem(
+        ms, kf_ids, fixed, mp_ids, local_of_global, inv_sigma2_lut
+    )
+    res = local_ba.optimize(prob, cam_params, iters=iters)
+    # Keep points with at least one inlier observation in the window.
+    observed = jnp.any(prob.obs_mask, axis=0)
+    pt_keep = jnp.any(res.inlier, axis=0) | ~observed
+    ms = mapstate.scatter_ba_result(
+        ms, kf_ids, mp_ids, res.kf_R, res.kf_t, res.points, pt_keep
+    )
+    return ms, res.total_chi2
+
+
+# ---------------------------------------------------------------------------
+# Host state machine
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FrameResult:
+    state: str
+    R: np.ndarray
+    t: np.ndarray
+    n_inliers: int
+    is_keyframe: bool = False
+
+
+@dataclass
+class MonoTracker:
+    cfg: SLAMConfig
+    ms: mapstate.MapState = None
+    state: str = "NOT_INITIALIZED"
+    n_kf: int = 0
+    n_mp: int = 0
+    frames_since_kf: int = 0
+    ref_tracked: int = 0
+    init_feats: Optional[FrameFeatures] = None
+    init_age: int = 0
+    last_R: np.ndarray = None
+    last_t: np.ndarray = None
+    vel_R: np.ndarray = None
+    vel_t: np.ndarray = None
+    trajectory: List[np.ndarray] = field(default_factory=list)
+    kf_slots: List[int] = field(default_factory=list)
+    stats: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        mcfg = self.cfg.map
+        # Feature capacity = what the extractor actually emits.
+        self.n_feat = sum(extractor.features_per_level(
+            self.cfg.orb.n_features, self.cfg.orb.n_levels,
+            self.cfg.orb.scale_factor))
+        self.ms = mapstate.empty(mcfg.max_keyframes, mcfg.max_points,
+                                 self.n_feat)
+        cam = self.cfg.camera
+        self.cam_params = jnp.asarray(cam.params, jnp.float32)
+        self.img_wh = jnp.asarray([cam.width, cam.height], jnp.float32)
+        sf = extractor.scale_factors(self.cfg.orb)
+        self.scale_lut = jnp.asarray(sf)
+        self.sigma2_lut = jnp.asarray(sf * sf)
+        self.inv_sigma2_lut = jnp.asarray(1.0 / (sf * sf))
+        self.key = jax.random.PRNGKey(self.cfg.seed)
+        self.last_R = np.eye(3, dtype=np.float32)
+        self.last_t = np.zeros(3, np.float32)
+        self.vel_R = np.eye(3, dtype=np.float32)
+        self.vel_t = np.zeros(3, np.float32)
+        self.stats = {"kf": 0, "mp": 0, "ba_chi2": 0.0}
+
+    # -- public API ---------------------------------------------------------
+
+    def process(self, img: np.ndarray) -> FrameResult:
+        feats = extractor.extract_jit(jnp.asarray(img, jnp.float32),
+                                      self.cfg.orb)
+        if self.state == "NOT_INITIALIZED":
+            out = self._initialize(feats)
+        elif self.state == "OK":
+            out = self._track(feats)
+        else:  # LOST — hold pose (relocalization arrives in a later stage)
+            out = FrameResult("LOST", self.last_R, self.last_t, 0)
+        self.trajectory.append(np.concatenate([
+            out.R.reshape(-1), out.t.reshape(-1)]))
+        return out
+
+    def positions(self) -> np.ndarray:
+        """Camera centers (world frame) per processed frame."""
+        out = []
+        for p in self.trajectory:
+            R = p[:9].reshape(3, 3)
+            t = p[9:]
+            out.append(-R.T @ t)
+        return np.stack(out) if out else np.zeros((0, 3))
+
+    # -- initialization -----------------------------------------------------
+
+    def _initialize(self, feats: FrameFeatures) -> FrameResult:
+        tcfg = self.cfg.tracking
+        n_valid = int(jnp.sum(feats.valid))
+        if self.init_feats is None:
+            if n_valid >= tcfg.init_min_matches:
+                self.init_feats = feats
+                self.init_age = 0
+            return FrameResult("NOT_INITIALIZED", self.last_R, self.last_t, 0)
+
+        self.init_age += 1
+        res = _init_match(self.init_feats, feats)
+        n_match = int(jnp.sum(res.idx >= 0))
+        if n_match < tcfg.init_min_matches:
+            if self.init_age > 20 and n_valid >= tcfg.init_min_matches:
+                self.init_feats = feats
+                self.init_age = 0
+            return FrameResult("NOT_INITIALIZED", self.last_R, self.last_t,
+                               n_match)
+
+        from tpuslam.geometry import cameras
+
+        fa, fb = self.init_feats, feats
+        kp_b = jnp.clip(res.idx, 0, fb.capacity - 1)
+        b1 = cameras.unproject(fa.uv, self.cam_params)
+        b2 = cameras.unproject(fb.uv[kp_b], self.cam_params)
+        self.key, sub = jax.random.split(self.key)
+        rec = _reconstruct(b1, b2, res.idx >= 0, sub,
+                           focal=float(self.cfg.camera.fx))
+        if not bool(rec.ok) or int(jnp.sum(rec.good)) < tcfg.init_min_tri:
+            return FrameResult("NOT_INITIALIZED", self.last_R, self.last_t,
+                               n_match)
+
+        # --- create the initial map (CreateInitialMapMonocular,
+        # src/Tracking.cc:2520): normalize median depth to 1.
+        good = np.asarray(rec.good)
+        X = np.asarray(rec.X1)
+        med_depth = float(np.median(X[good][:, 2]))
+        s = 1.0 / max(med_depth, 1e-6)
+        X = X * s
+        R1 = np.asarray(rec.R21)
+        t1 = np.asarray(rec.t21) * s
+
+        ms = self.ms
+        eye = jnp.eye(3, dtype=jnp.float32)
+        zero = jnp.zeros(3, jnp.float32)
+        ms = mapstate.add_keyframe(ms, 0, eye, zero, fa,
+                                   jnp.full((self.n_feat,), -1, jnp.int32))
+        ms = mapstate.add_keyframe(ms, 1, jnp.asarray(R1), jnp.asarray(t1),
+                                   fb, jnp.full((self.n_feat,), -1, jnp.int32))
+        ms, n_new = mapstate.add_points(
+            ms, jnp.int32(0),
+            jnp.asarray(X), fa.desc, fa.level, rec.good,
+            0, jnp.arange(self.n_feat, dtype=jnp.int32),
+            1, kp_b.astype(jnp.int32),
+        )
+        self.n_mp = int(n_new)
+        self.n_kf = 2
+        self.kf_slots = [0, 1]
+
+        # Initial BA over the two views (GlobalBundleAdjustemnt(20),
+        # src/Tracking.cc:2573), KF0 fixed; then re-normalize depth.
+        kf_ids, fixed, mp_ids, local = self._window(free=1)
+        ms, chi2 = _run_local_ba(ms, kf_ids, fixed, mp_ids, local,
+                                 self.inv_sigma2_lut, self.cam_params,
+                                 iters=15)
+        # Re-normalize scale: median depth of valid points in KF1 frame.
+        pos = np.asarray(ms.mp_pos[: self.cfg.map.ba_point_cap])
+        val = np.asarray(ms.mp_valid[: self.cfg.map.ba_point_cap])
+        if val.sum() < tcfg.init_min_tri:
+            # BA rejected too much — reset initialization.
+            self._reset_init()
+            return FrameResult("NOT_INITIALIZED", self.last_R, self.last_t,
+                               n_match)
+        med = float(np.median(pos[val][:, 2]))
+        s2 = 1.0 / max(med, 1e-6)
+        ms = ms._replace(
+            mp_pos=ms.mp_pos * s2,
+            kf_t=ms.kf_t * s2,
+        )
+
+        self.ms = ms
+        self.state = "OK"
+        self.last_R = np.asarray(ms.kf_R[1])
+        self.last_t = np.asarray(ms.kf_t[1])
+        # Velocity guess: relative motion of the two init keyframes spread
+        # over init_age frames is unknown — start from zero velocity.
+        self.vel_R = np.eye(3, dtype=np.float32)
+        self.vel_t = np.zeros(3, np.float32)
+        self.frames_since_kf = 0
+        self.ref_tracked = int(jnp.sum(rec.good))
+        self.stats["kf"] = 2
+        self.stats["mp"] = self.n_mp
+        return FrameResult("OK", self.last_R, self.last_t, self.ref_tracked,
+                           is_keyframe=True)
+
+    def _reset_init(self):
+        self.ms = mapstate.empty(self.cfg.map.max_keyframes,
+                                 self.cfg.map.max_points, self.n_feat)
+        self.init_feats = None
+        self.n_kf = 0
+        self.n_mp = 0
+        self.kf_slots = []
+
+    # -- tracking -----------------------------------------------------------
+
+    def _window(self, free: Optional[int] = None):
+        """Temporal local window: last `local_window` KFs free, the 2
+        preceding fixed (always >=2 fixed for gauge)."""
+        W = self.cfg.map.local_window + self.cfg.map.local_fixed
+        slots = self.kf_slots[-W:]
+        n = len(slots)
+        target = self.cfg.map.local_window if free is None else free
+        # >=2 fixed anchors whenever possible: with a single fixed pose the
+        # monocular scale gauge is unpinned and sliding-window BA drifts
+        # the local map against older fixed keyframes (observed as map
+        # corruption after ~10 keyframes). Two anchor poses pin scale
+        # through their baseline.
+        n_free = min(target, max(n - 2, n - 1 if n <= 2 else 0, 0))
+        kf_ids = np.full((W,), -1, np.int32)
+        fixed = np.ones((W,), bool)
+        kf_ids[:n] = slots
+        for i in range(n - n_free, n):
+            fixed[i] = False
+        kf_ids_j = jnp.asarray(kf_ids)
+        mp_ids, local = mapstate.local_point_ids(
+            self.ms, kf_ids_j, cap=self.cfg.map.ba_point_cap
+        )
+        return kf_ids_j, jnp.asarray(fixed), mp_ids, local
+
+    def _track(self, feats: FrameFeatures) -> FrameResult:
+        tcfg = self.cfg.tracking
+        # Motion-model prediction.
+        R_pred = jnp.asarray(self.vel_R @ self.last_R)
+        t_pred = jnp.asarray(self.vel_R @ self.last_t + self.vel_t)
+
+        kf_ids, _, mp_ids, _ = self._window()
+        safe = jnp.clip(mp_ids, 0, self.ms.mp_capacity - 1)
+        mp_ok = (mp_ids >= 0) & self.ms.mp_valid[safe]
+        R, t, assoc, n_inl, visible_ids, found_ids = _track_pose(
+            R_pred, t_pred,
+            mp_ids, self.ms.mp_pos[safe], self.ms.mp_desc[safe],
+            self.ms.mp_level[safe], mp_ok,
+            feats, self.cam_params, self.scale_lut, self.inv_sigma2_lut,
+            self.img_wh,
+        )
+        n_inl = int(n_inl)
+        self.ms = mapstate.update_point_stats(self.ms, visible_ids, found_ids)
+
+        if n_inl < tcfg.min_inliers_track:
+            self.state = "LOST"
+            return FrameResult("LOST", self.last_R, self.last_t, n_inl)
+
+        R_np, t_np = np.asarray(R), np.asarray(t)
+        # Velocity (camera-from-camera relative motion).
+        self.vel_R = R_np @ self.last_R.T
+        self.vel_t = t_np - self.vel_R @ self.last_t
+        self.last_R, self.last_t = R_np, t_np
+        self.frames_since_kf += 1
+
+        is_kf = self._need_keyframe(n_inl)
+        if is_kf:
+            self._create_keyframe(feats, R, t, assoc, n_inl)
+        return FrameResult("OK", R_np, t_np, n_inl, is_keyframe=is_kf)
+
+    def _need_keyframe(self, n_inl: int) -> bool:
+        """NeedNewKeyFrame rules c1a/c2 (src/Tracking.cc:3227-3240)."""
+        tcfg = self.cfg.tracking
+        if self.n_kf >= self.cfg.map.max_keyframes:
+            return False
+        if n_inl < 15:
+            return False
+        c1a = self.frames_since_kf >= tcfg.kf_max_interval
+        c2 = (n_inl < tcfg.kf_ref_ratio * self.ref_tracked
+              and self.frames_since_kf >= 1)
+        return c1a or c2
+
+    def _create_keyframe(self, feats, R, t, assoc, n_inl: int):
+        slot = self.n_kf
+        self.ms = mapstate.add_keyframe(self.ms, slot, R, t, feats, assoc)
+        self.n_kf += 1
+        self.kf_slots.append(slot)
+        self.frames_since_kf = 0
+        self.ref_tracked = max(n_inl, 1)
+
+        # Triangulate vs up to 2 previous keyframes.
+        _, _, near_ids, _ = self._window()
+        near_safe = jnp.clip(near_ids, 0, self.ms.mp_capacity - 1)
+        for prev in self.kf_slots[-3:-1]:
+            near_pos = self.ms.mp_pos[near_safe]
+            near_ok = (near_ids >= 0) & self.ms.mp_valid[near_safe]
+            self.ms, n_new = _triangulate_between(
+                self.ms, prev, slot, jnp.int32(self.n_mp),
+                self.cam_params, self.sigma2_lut, near_pos, near_ok,
+                focal=float(self.cfg.camera.fx),
+            )
+            self.n_mp += int(n_new)
+
+        # Fuse: densify cross-observations over the recent keyframes.
+        _, _, fuse_ids, _ = self._window()
+        for s in self.kf_slots[-4:]:
+            self.ms = _fuse_into_kf(
+                self.ms, s, fuse_ids, self.cam_params, self.scale_lut,
+                self.inv_sigma2_lut, self.img_wh,
+            )
+
+        # Local BA on the temporal window.
+        kf_ids, fixed, mp_ids, local = self._window()
+        self.ms, chi2 = _run_local_ba(
+            self.ms, kf_ids, fixed, mp_ids, local,
+            self.inv_sigma2_lut, self.cam_params,
+            iters=self.cfg.solver.ba_iters,
+        )
+        # Found-ratio culling (MapPointCulling analog).
+        self.ms = mapstate.cull_points(self.ms, self.cfg.map.cull_found_ratio,
+                                       min_visible=8)
+        self.stats = {"kf": self.n_kf, "mp": self.n_mp,
+                      "ba_chi2": float(chi2)}
