@@ -93,8 +93,10 @@ def test_descriptor_matching_across_views(world, cfg):
     # Init-style windowed search (SearchForInitialization: window 100,
     # ratio 0.9) + rotation-consistency filter.
     wmask = matching.window_mask(fa.uv, fb.uv, 100.0)
+    # max_dist 45: the patch-based MXU descriptors are tight (median
+    # true-match distance ~17/256) so the gate can sit well below TH_LOW.
     res = matching.match(fa.desc, fb.desc, fa.valid, fb.valid, mask=wmask,
-                         max_dist=60, ratio=0.9, mutual=True)
+                         max_dist=45, ratio=0.9, mutual=True)
     res = matching.rotation_consistency(fa.angle, fb.angle, res)
     idx = np.asarray(res.idx)
     matched = idx >= 0

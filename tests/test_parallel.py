@@ -1,0 +1,100 @@
+"""Distributed BA / multi-device tests on the virtual 8-device CPU mesh
+(SURVEY.md section 4: collectives testable without a pod via
+xla_force_host_platform_device_count)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding
+
+from tpuslam.parallel import dist_ba
+from tpuslam.solver import local_ba
+from tpuslam.solver.local_ba import BAProblem
+
+CAM = jnp.array([450.0, 450.0, 320.0, 240.0], jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = np.asarray(jax.devices("cpu")[:8])
+    return Mesh(devs, (dist_ba.AXIS,))
+
+
+def make_problem(rng, K=4, M=512):
+    from tpuslam.geometry import lie
+
+    X = rng.uniform([-4, -4, 6], [4, 4, 10], size=(M, 3)).astype(np.float32)
+    kf_R, kf_t = [], []
+    for k in range(K):
+        w = rng.normal(size=3) * 0.02
+        kf_R.append(np.asarray(lie.so3_exp(jnp.asarray(w, jnp.float32))))
+        kf_t.append(np.array([0.5 * k, 0.0, 0.0], np.float32))
+    obs_uv = np.zeros((K, M, 2), np.float32)
+    for k in range(K):
+        Xc = X @ kf_R[k].T + kf_t[k]
+        obs_uv[k, :, 0] = 450 * Xc[:, 0] / Xc[:, 2] + 320
+        obs_uv[k, :, 1] = 450 * Xc[:, 1] / Xc[:, 2] + 240
+    obs_uv += rng.normal(0, 0.3, obs_uv.shape).astype(np.float32)
+    fixed = np.zeros(K, bool)
+    fixed[:2] = True
+    pts0 = X + rng.normal(0, 0.05, X.shape).astype(np.float32)
+    return BAProblem(
+        kf_R=jnp.asarray(np.stack(kf_R)),
+        kf_t=jnp.asarray(np.stack(kf_t)),
+        kf_fixed=jnp.asarray(fixed),
+        points=jnp.asarray(pts0),
+        pt_valid=jnp.ones(M, bool),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_mask=jnp.ones((K, M), bool),
+        obs_inv_sigma2=jnp.ones((K, M), jnp.float32),
+    )
+
+
+def test_distributed_matches_local(rng, mesh):
+    prob = make_problem(rng)
+    res_local = local_ba.optimize(prob, CAM, iters=6)
+
+    specs = dist_ba.problem_specs()
+    prob_sharded = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), prob, specs
+    )
+    res_dist = dist_ba.distributed_optimize(prob_sharded, CAM, mesh, iters=6)
+
+    np.testing.assert_allclose(res_dist.kf_R, res_local.kf_R, atol=2e-4)
+    np.testing.assert_allclose(res_dist.kf_t, res_local.kf_t, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(res_dist.points), np.asarray(res_local.points), atol=5e-3
+    )
+    # Both reach the same cost basin.
+    assert abs(float(res_dist.total_chi2) - float(res_local.total_chi2)) < \
+        0.05 * float(res_local.total_chi2) + 10.0
+
+
+def test_distributed_converges(rng, mesh):
+    prob = make_problem(rng, K=4, M=1024)
+    specs = dist_ba.problem_specs()
+    prob_sharded = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), prob, specs
+    )
+    res = dist_ba.distributed_optimize(prob_sharded, CAM, mesh, iters=10)
+    chi2 = np.asarray(res.chi2)[np.asarray(res.inlier)]
+    assert chi2.mean() < 1.0
+
+
+def test_batched_extractor_sharded(mesh):
+    from tpuslam.config import ORBConfig
+
+    cfg = ORBConfig(n_features=64, n_levels=2)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 255, size=(8, 96, 128)), jnp.float32)
+    run = dist_ba.make_batched_extractor(mesh, cfg)
+    feats = run(imgs)
+    assert feats.uv.shape[0] == 8
+    assert np.isfinite(np.asarray(feats.uv)).all()
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

@@ -81,10 +81,8 @@ def _extract_level(img_lv, n_kp: int, cfg: ORBConfig, threshold: float):
         top_val = jnp.concatenate([top_val, jnp.zeros((pad,), top_val.dtype)])
         valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
 
-    m10, m01 = orb.moment_maps(img_lv, cfg.patch_radius)
-    angle = orb.angles_at(m10, m01, xy)
     blurred = pyramid.gaussian_blur(img_lv)
-    desc = orb.descriptors(blurred, xy, angle)
+    angle, desc = orb.orient_and_describe(blurred, xy)
     return xy, angle, top_val.astype(jnp.float32), desc, valid
 
 

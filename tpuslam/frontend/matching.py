@@ -28,13 +28,33 @@ HISTO_BINS = 30
 BIG = jnp.int32(1 << 30)
 
 
+def unpack_bits(desc):
+    """(N,8) uint32 packed descriptor -> (N,256) bfloat16 {0,1} bits."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (desc[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    return bits.reshape(desc.shape[0], -1).astype(jnp.bfloat16)
+
+
 def hamming_matrix(da, db):
     """(N,8) x (M,8) uint32 -> (N,M) int32 Hamming distances.
 
-    Ref: ORBmatcher::DescriptorDistance (:2463) popcount, batched.
+    Ref: ORBmatcher::DescriptorDistance (:2463) popcount. The TPU-native
+    formulation rides the MXU: with descriptors unpacked to {0,1} bit
+    vectors, popcount(a XOR b) = |a| + |b| - 2 a.b, so the whole NxM
+    distance matrix is one 256-deep matmul (exact: bf16 products are
+    0/1, accumulation forced to f32). The elementwise XOR+popcount
+    broadcast variant is ~50x slower on TPU — it cannot use the MXU.
     """
-    x = jnp.bitwise_xor(da[:, None, :], db[None, :, :])
-    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+    A = unpack_bits(da)
+    B = unpack_bits(db)
+    na = jnp.sum(A, axis=1, dtype=jnp.float32)
+    nb = jnp.sum(B, axis=1, dtype=jnp.float32)
+    ab = jax.lax.dot_general(
+        A, B,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return (na[:, None] + nb[None, :] - 2.0 * ab).astype(jnp.int32)
 
 
 class MatchResult(NamedTuple):

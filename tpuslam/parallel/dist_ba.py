@@ -1,0 +1,93 @@
+"""Distributed bundle adjustment + data-parallel front-end over a device mesh.
+
+The reference has NO distributed execution (SURVEY.md section 2.4/5.8:
+four pthreads + mutex queues). This module supplies the TPU-native
+scale-out path the new framework is designed around:
+
+- **Landmark-sharded BA**: the BAProblem's landmark dimension M is
+  sharded over a mesh axis. Each device assembles the Hessian
+  contributions of its landmark block; the reduced camera system
+  (pose-block Hessian U, Schur matrix S, reduced gradient) is summed
+  with `psum` over ICI and solved replicated; landmark back-substitution
+  (V^-1, point updates) is purely shard-local. This is the classic
+  distributed Schur layout (SURVEY.md section 5.7: "landmark Schur per
+  shard, psum-reduced camera system").
+- **Data-parallel feature extraction**: frames are independent, so the
+  ORB front-end batches over a frame axis sharded across devices —
+  the batched-frame data parallelism of SURVEY.md section 2.4.
+
+Implementation: `solver.local_ba.optimize(axis_name=...)` already
+expresses the partial-sum + psum algebra; this module wraps it in
+`jax.shard_map` with the right PartitionSpecs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpuslam.frontend import extractor
+from tpuslam.solver import local_ba
+from tpuslam.solver.local_ba import BAProblem, BAResult
+
+AXIS = "mp"
+
+
+def problem_specs(axis: str = AXIS) -> BAProblem:
+    """PartitionSpecs: landmark-indexed arrays sharded, pose arrays
+    replicated."""
+    return BAProblem(
+        kf_R=P(), kf_t=P(), kf_fixed=P(),
+        points=P(axis), pt_valid=P(axis),
+        obs_uv=P(None, axis), obs_mask=P(None, axis),
+        obs_inv_sigma2=P(None, axis),
+    )
+
+
+def result_specs(axis: str = AXIS) -> BAResult:
+    return BAResult(
+        kf_R=P(), kf_t=P(), points=P(axis),
+        chi2=P(None, axis), inlier=P(None, axis), total_chi2=P(),
+    )
+
+
+def distributed_optimize(
+    prob: BAProblem,
+    cam_params,
+    mesh: Mesh,
+    axis: str = AXIS,
+    model: str = "pinhole",
+    iters: int = 10,
+    **kw,
+) -> BAResult:
+    """Landmark-sharded BA over `mesh[axis]`. M must divide the axis size."""
+
+    def _opt(p, cam):
+        return local_ba.optimize(p, cam, model=model, iters=iters,
+                                 axis_name=axis, **kw)
+
+    f = jax.shard_map(
+        _opt,
+        mesh=mesh,
+        in_specs=(problem_specs(axis), P()),
+        out_specs=result_specs(axis),
+        check_vma=False,
+    )
+    return f(prob, jnp.asarray(cam_params))
+
+
+def make_batched_extractor(mesh: Mesh, orb_cfg, axis: str = AXIS):
+    """jit-compiled frame-sharded batch ORB extraction: (B,H,W) -> batched
+    FrameFeatures, B sharded over `mesh[axis]`."""
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=NamedSharding(mesh, P(axis, None, None)),
+    )
+    def run(imgs):
+        return jax.vmap(lambda im: extractor.extract(im, orb_cfg))(imgs)
+
+    return run

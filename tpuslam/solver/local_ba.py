@@ -65,7 +65,7 @@ def _residuals(prob: BAProblem, kf_R, kf_t, points, cam_params, model):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model", "iters", "use_huber")
+    jax.jit, static_argnames=("model", "iters", "use_huber", "axis_name")
 )
 def optimize(
     prob: BAProblem,
@@ -75,19 +75,34 @@ def optimize(
     lambda0: float = 1e-4,
     chi2_th: float = CHI2_MONO,
     use_huber: bool = True,
+    axis_name: str = None,
 ) -> BAResult:
+    """When `axis_name` is set, the problem's landmark dimension M is a
+    LOCAL shard inside a `shard_map` over that mesh axis: every sum over
+    landmarks (pose-block Hessian U, Schur matrix S, reduced gradient,
+    cost) becomes a partial sum + `psum`, while the landmark-block solve
+    (V^-1, point updates) stays shard-local. That is the distributed-BA
+    layout of SURVEY.md section 5.7: landmark blocks sharded, reduced
+    camera system assembled via collectives over ICI, solved replicated."""
     K = prob.kf_R.shape[0]
     M = prob.points.shape[0]
     dtype = prob.kf_R.dtype
     eyeK6 = jnp.eye(6 * K, dtype=dtype)
     eye3 = jnp.eye(3, dtype=dtype)
 
+    if axis_name is not None:
+        allreduce = lambda x: jax.lax.psum(x, axis_name)  # noqa: E731
+    else:
+        allreduce = lambda x: x  # noqa: E731
+
     mask = prob.obs_mask & prob.pt_valid[None, :]
     maskf = mask.astype(dtype)
 
     def masked_chi2(kf_R, kf_t, points):
         _, _, chi2 = _residuals(prob, kf_R, kf_t, points, cam_params, model)
-        return jnp.sum(jnp.where(mask, jnp.minimum(chi2, 4.0 * chi2_th), 0.0))
+        return allreduce(
+            jnp.sum(jnp.where(mask, jnp.minimum(chi2, 4.0 * chi2_th), 0.0))
+        )
 
     def lm_step(carry, _):
         kf_R, kf_t, points, lam, prev_cost = carry
@@ -100,11 +115,11 @@ def optimize(
             Xc, kf_R[:, None], cam_params, model
         )  # (K,M,2,6), (K,M,2,3)
 
-        U = jnp.einsum("kmri,km,kmrj->kij", J_pose, w, J_pose)   # (K,6,6)
-        V = jnp.einsum("kmri,km,kmrj->mij", J_point, w, J_point)  # (M,3,3)
+        U = allreduce(jnp.einsum("kmri,km,kmrj->kij", J_pose, w, J_pose))
+        V = jnp.einsum("kmri,km,kmrj->mij", J_point, w, J_point)  # (M,3,3) local
         Wb = jnp.einsum("kmri,km,kmrj->kmij", J_pose, w, J_point)  # (K,M,6,3)
-        bc = -jnp.einsum("kmri,km,kmr->ki", J_pose, w, r)        # (K,6)
-        bp = -jnp.einsum("kmri,km,kmr->mi", J_point, w, r)       # (M,3)
+        bc = -allreduce(jnp.einsum("kmri,km,kmr->ki", J_pose, w, r))
+        bp = -jnp.einsum("kmri,km,kmr->mi", J_point, w, r)       # (M,3) local
 
         # LM damping (additive, Levenberg).
         U = U + lam * jnp.eye(6, dtype=dtype)[None]
@@ -112,11 +127,12 @@ def optimize(
         Vinv = jnp.linalg.inv(V)                                  # (M,3,3)
 
         WVinv = jnp.einsum("kmij,mjl->kmil", Wb, Vinv)            # (K,M,6,3)
-        S_off = jnp.einsum("kmil,qmjl->kiqj", WVinv, Wb)          # (K,6,K,6)
+        S_off = allreduce(jnp.einsum("kmil,qmjl->kiqj", WVinv, Wb))
         S = -S_off
         S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(U)
         S = S.reshape(6 * K, 6 * K)
-        bred = (bc - jnp.einsum("kmil,ml->ki", WVinv, bp)).reshape(-1)
+        bred = (bc - allreduce(jnp.einsum("kmil,ml->ki", WVinv, bp))
+                ).reshape(-1)
 
         # Condition on fixed poses: dc_fixed = 0.
         free = (~prob.kf_fixed).astype(dtype)
