@@ -105,7 +105,11 @@ def _rotated_diff_selection(seed: int = 42, patch: int = PATCH,
             idx = ((ry + c) * patch + (rx + c)).astype(np.int64)
             # += so a pair that rounds to the same pixel nets to 0.
             np.add.at(sel[b], (idx, np.arange(N_BITS)), sign)
-    return jnp.asarray(sel, jnp.bfloat16)
+    # Cache as a HOST array (ml_dtypes bf16): caching a jnp array here
+    # would capture a tracer when first touched inside a jit trace and
+    # poison every later trace (UnexpectedTracerError).
+    import ml_dtypes
+    return sel.astype(ml_dtypes.bfloat16)
 
 
 def descriptors_from_patches(patches, angle, pattern_seed: int = 42):

@@ -50,22 +50,15 @@ def _gauss_kernel(size: int, sigma: float) -> np.ndarray:
 
 def gaussian_blur(img, size: int = 7, sigma: float = 2.0):
     """Separable Gaussian blur with reflect padding (cv::GaussianBlur
-    BORDER_REFLECT_101 analog)."""
-    k = jnp.asarray(_gauss_kernel(size, sigma))
+    BORDER_REFLECT_101 analog).
+
+    Implemented as unrolled shift-multiply-adds (pure VPU work): XLA's
+    single-channel spatial-conv path costs ~ms per level on TPU, the
+    shift-add form is microseconds."""
+    k = _gauss_kernel(size, sigma)
     pad = size // 2
+    h, w = img.shape
     x = jnp.pad(img, ((pad, pad), (0, 0)), mode="reflect")
-    # Convolve rows then columns via conv_general_dilated on (1,1,H,W).
-    x = jax.lax.conv_general_dilated(
-        x[None, None, :, :],
-        k[None, None, :, None],
-        window_strides=(1, 1),
-        padding="VALID",
-    )[0, 0]
-    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        x[None, None, :, :],
-        k[None, None, None, :],
-        window_strides=(1, 1),
-        padding="VALID",
-    )[0, 0]
-    return x
+    img = sum(float(k[i]) * x[i : i + h, :] for i in range(size))
+    x = jnp.pad(img, ((0, 0), (pad, pad)), mode="reflect")
+    return sum(float(k[i]) * x[:, i : i + w] for i in range(size))
