@@ -167,3 +167,107 @@ def render(world: SyntheticWorld, R_cw, t_cw, noise: float = 0.0,
         rng = np.random.default_rng(seed)
         img = img + rng.normal(0, noise, img.shape).astype(np.float32)
     return np.clip(img, 0, 255).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# IMU simulation (visual-inertial tests)
+# ---------------------------------------------------------------------------
+
+
+def orbit_pose(a: float, radius: float = 9.0, height: float = 1.5,
+               wobble: float = 0.15, phase: float = 0.0,
+               target=(0.0, 0.0, 0.0)):
+    """Continuous-parameter orbit pose (same family as orbit_trajectory)."""
+    eye = np.array([
+        radius * np.cos(a),
+        radius * np.sin(a),
+        height + wobble * radius * 0.3 * np.sin(3 * a + phase),
+    ])
+    return look_at(eye, np.asarray(target))
+
+
+def simulate_imu(
+    n_frames: int,
+    fps: float = 20.0,
+    imu_freq: float = 200.0,
+    arc: float = 0.8 * np.pi,
+    gravity: float = 9.81,
+    bias_gyro=(0.0, 0.0, 0.0),
+    bias_acc=(0.0, 0.0, 0.0),
+    noise_gyro: float = 0.0,
+    noise_acc: float = 0.0,
+    seed: int = 3,
+    **orbit_kw,
+):
+    """Simulate an orbit trajectory with IMU.
+
+    Body frame == camera frame (Tbc = I). Returns dict with:
+    - poses: list of n_frames (R_cw, t_cw) at camera rate,
+    - vel: (n_frames,3) true world velocities at frame times,
+    - imu_acc/imu_gyro: (n_frames-1, S, 3) per-inter-frame sample blocks,
+    - imu_dt: scalar sample period.
+
+    Measurements come from finite differences of the smooth analytic
+    trajectory at the IMU rate (h=1/freq, error O(h^2)): gyro_k =
+    Log(Rwb_k^T Rwb_{k+1})/h, acc = Rwb^T (a_world - g).
+    """
+    import jax.numpy as jnp
+
+    from tpuslam.geometry import lie
+
+    rng = np.random.default_rng(seed)
+    S = int(round(imu_freq / fps))           # samples per frame interval
+    h = 1.0 / imu_freq
+    total = (n_frames - 1) * S + 1
+    T = (n_frames - 1) / fps
+    a_of_t = lambda t: arc * t / T           # noqa: E731
+
+    # Dense sampling (need one extra sample each side for differences).
+    # No clipping: the orbit is analytic for any t, and clipping would
+    # corrupt the finite-difference velocity/acceleration at t=0 and t=T.
+    ts = np.arange(-1, total + 1) * h
+    Rcw_d, tcw_d = [], []
+    for t in ts:
+        R, tt = orbit_pose(a_of_t(t), **orbit_kw)
+        Rcw_d.append(R)
+        tcw_d.append(tt)
+    Rcw_d = np.stack(Rcw_d)
+    tcw_d = np.stack(tcw_d)
+    Rwb_d = Rcw_d.transpose(0, 2, 1)         # body=camera: Rwb = Rcw^T
+    pwb_d = -np.einsum("nij,nj->ni", Rwb_d, tcw_d)
+
+    g = np.array([0.0, 0.0, -gravity])
+    # Gyro via relative rotation between consecutive dense samples.
+    Rel = np.einsum("nji,njk->nik", Rwb_d[:-1], Rwb_d[1:])  # R_k^T R_k+1
+    w_body = np.asarray(lie.so3_log(jnp.asarray(Rel, jnp.float32))) / h
+    # World acceleration via central second differences.
+    acc_w = (pwb_d[2:] - 2 * pwb_d[1:-1] + pwb_d[:-2]) / (h * h)
+    acc_body = np.einsum("nji,nj->ni", Rwb_d[1:-1], acc_w - g)
+    # Velocity (central differences) at every dense sample.
+    vel_d = (pwb_d[2:] - pwb_d[:-2]) / (2 * h)
+
+    # Sample k of the measurement stream covers [k h, (k+1) h): use gyro
+    # between k and k+1, acc at k (midpoint-ish; fine at 200 Hz).
+    gyro = w_body[1:total] + np.asarray(bias_gyro)
+    acc = acc_body[:total - 1] + np.asarray(bias_acc)
+    if noise_gyro > 0:
+        gyro = gyro + rng.normal(0, noise_gyro, gyro.shape)
+    if noise_acc > 0:
+        acc = acc + rng.normal(0, noise_acc, acc.shape)
+
+    poses = []
+    vel = []
+    for f in range(n_frames):
+        k = f * S
+        poses.append((Rcw_d[1 + k].astype(np.float32),
+                      tcw_d[1 + k].astype(np.float32)))
+        vel.append(vel_d[k])
+    return {
+        "poses": poses,
+        "vel": np.stack(vel).astype(np.float32),
+        "imu_gyro": gyro.reshape(n_frames - 1, S, 3).astype(np.float32),
+        "imu_acc": acc.reshape(n_frames - 1, S, 3).astype(np.float32),
+        "imu_dt": h,
+        "Rwb": Rwb_d[1:-1][::S][:n_frames].astype(np.float32),
+        "pwb": pwb_d[1:-1][::S][:n_frames].astype(np.float32),
+    }

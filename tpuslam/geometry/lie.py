@@ -177,14 +177,16 @@ def so3_left_jacobian(w):
 
 
 def normalize_rotation(R):
-    """Re-orthonormalize a near-rotation via SVD. Ref: IMU::NormalizeRotation
-    (src/ImuTypes.cc) which uses the same U V^T projection."""
-    u, _, vt = jnp.linalg.svd(R)
-    Rn = u @ vt
-    # Keep det=+1 (flip last column of u if needed).
-    det = jnp.linalg.det(Rn)
-    u = u.at[..., :, 2].multiply(jnp.sign(det)[..., None])
-    return u @ vt
+    """Re-orthonormalize a near-rotation. Ref: IMU::NormalizeRotation
+    (src/ImuTypes.cc, SVD U V^T projection).
+
+    Implemented as a quaternion round-trip instead of SVD: the SVD
+    projection is NOT differentiable at repeated singular values — which
+    for a rotation is ALWAYS (sigma = 1,1,1) — so any AD through it
+    (inertial factor Jacobians) yields NaN. The quaternion round-trip is
+    smooth for near-rotations and projects equally well.
+    """
+    return quat_to_rotmat(rotmat_to_quat(R))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,514 @@
+"""Visual-inertial optimization: VI local BA, inertial-only init, and
+frame VI pose optimization.
+
+Replaces the inertial problems of /root/reference/src/Optimizer.cc
+(catalog in SURVEY.md section 2.2):
+- `LocalInertialBA` (:4504) / `FullInertialBA` (:420)  -> optimize_vi
+- `InertialOptimization` (:5391 + variants)            -> inertial_init
+- `PoseInertialOptimizationLastKeyFrame/LastFrame` (:7608/:8009)
+                                                        -> optimize_pose_vi
+
+Design: each keyframe carries a 15-dof state [theta(3), p(3), v(3),
+bg(3), ba(3)] (body pose world-from-body, right-multiplicative rotation
+update R <- R Exp(dtheta)). Factors:
+- monocular reprojection (pose rows only) through the camera-from-body
+  extrinsics,
+- 9-dim preintegrated inertial residuals between consecutive keyframes
+  (imu.preintegration.inertial_residual), whitened by the preintegrated
+  covariance,
+- 6-dim bias random-walk residuals.
+
+Jacobians of the inertial edges come from forward-mode AD at the zero
+tangent (vmapped over edges) — no hand-derived 24x24 Hessian blocks as
+in the reference's G2oTypes (:509-565); XLA fuses the jacfwd just fine
+at window sizes. Landmarks are Schur-eliminated exactly as in
+solver.local_ba; the reduced system is dense (15K x 15K, K<=32).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuslam.geometry import cameras, lie
+from tpuslam.imu import preintegration as pre
+from tpuslam.solver import factors
+
+CHI2_MONO = 5.991
+DOF = 15
+
+
+class VIWindow(NamedTuple):
+    # Body states (world-from-body).
+    Rwb: jax.Array        # (K,3,3)
+    pwb: jax.Array        # (K,3)
+    vel: jax.Array        # (K,3)
+    bg: jax.Array         # (K,3)
+    ba: jax.Array         # (K,3)
+    fixed: jax.Array      # (K,) bool
+    # Landmarks + dense observation grid (camera frame via Tcb).
+    points: jax.Array     # (M,3)
+    pt_valid: jax.Array   # (M,)
+    obs_uv: jax.Array     # (K,M,2)
+    obs_mask: jax.Array   # (K,M)
+    obs_inv_sigma2: jax.Array  # (K,M)
+    # Inertial edges i -> i+1 (stacked PreintState) + validity.
+    preint: pre.PreintState    # leading dim (K-1,)
+    edge_valid: jax.Array      # (K-1,)
+    # Extrinsics camera-from-body.
+    Rcb: jax.Array        # (3,3)
+    tcb: jax.Array        # (3,)
+
+
+class VIResult(NamedTuple):
+    Rwb: jax.Array
+    pwb: jax.Array
+    vel: jax.Array
+    bg: jax.Array
+    ba: jax.Array
+    points: jax.Array
+    chi2: jax.Array       # (K,M) visual chi2
+    inlier: jax.Array     # (K,M)
+    total_chi2: jax.Array
+
+
+def _cam_from_body(Rwb, pwb, Rcb, tcb):
+    """Tcw = Tcb o Tbw."""
+    Rbw = jnp.swapaxes(Rwb, -1, -2)
+    R_cw = Rcb @ Rbw
+    t_cw = tcb - jnp.einsum("...ij,...j->...i", R_cw, pwb)
+    return R_cw, t_cw
+
+
+def _apply_delta(Rwb, pwb, vel, bg, ba, d):
+    """d: (...,15) tangent -> updated states."""
+    dth, dp, dv, dbg, dba = (d[..., :3], d[..., 3:6], d[..., 6:9],
+                             d[..., 9:12], d[..., 12:15])
+    R = lie.normalize_rotation(Rwb @ lie.so3_exp(dth))
+    return R, pwb + dp, vel + dv, bg + dbg, ba + dba
+
+
+def _whiten(cov9, r):
+    """r (...,9) whitened by chol(inv(cov9)): solve L w = r."""
+    L = jnp.linalg.cholesky(
+        cov9 + 1e-10 * jnp.eye(9, dtype=r.dtype)
+    )
+    return jax.scipy.linalg.solve_triangular(L, r[..., None],
+                                             lower=True)[..., 0]
+
+
+def _inertial_residual_white(st: pre.PreintState, Ri, pi, vi, bgi, bai,
+                             Rj, pj, vj, gravity):
+    r = pre.inertial_residual(st, Ri, pi, vi, Rj, pj, vj, bgi, bai,
+                              gravity=gravity)
+    return _whiten(st.cov[:9, :9], r)
+
+
+def _edge_residual_and_jac(st: pre.PreintState, Ri, pi, vi, bgi, bai,
+                           Rj, pj, vj, gravity):
+    """Whitened 9-dim inertial residual + Jacobians wrt the two 15-dof
+    states (AD at the zero tangent)."""
+
+    def f(di, dj):
+        Ri2, pi2, vi2, bgi2, bai2 = _apply_delta(
+            Ri, pi, vi, bgi, bai, di)
+        Rj2, pj2, vj2, _, _ = _apply_delta(Rj, pj, vj, bgi, bai, dj)
+        return _inertial_residual_white(st, Ri2, pi2, vi2, bgi2, bai2,
+                                        Rj2, pj2, vj2, gravity)
+
+    z = jnp.zeros(DOF, Ri.dtype)
+    r = f(z, z)
+    Ji = jax.jacfwd(f, argnums=0)(z, z)   # (9,15)
+    Jj = jax.jacfwd(f, argnums=1)(z, z)   # (9,15)
+    return r, Ji, Jj
+
+
+def _bias_rw_residual(bgi, bai, bgj, baj, inv_sigma_walk):
+    """(6,) whitened bias random-walk residual (EdgeGyroRW/EdgeAccRW,
+    include/G2oTypes.h:658/699)."""
+    return jnp.concatenate([bgj - bgi, baj - bai]) * inv_sigma_walk
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "model"))
+def optimize_vi(
+    win: VIWindow,
+    cam_params,
+    gravity,
+    walk_info,            # (6,) 1/sigma of bias walk per edge
+    model: str = "pinhole",
+    iters: int = 8,
+    lambda0: float = 1e-3,
+    chi2_th: float = CHI2_MONO,
+    vis_weight: float = 1.0,
+) -> VIResult:
+    """Sliding-window VI bundle adjustment (LocalInertialBA analog)."""
+    K = win.Rwb.shape[0]
+    M = win.points.shape[0]
+    dtype = win.Rwb.dtype
+    n = DOF * K
+    eye_n = jnp.eye(n, dtype=dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    mask = win.obs_mask & win.pt_valid[None, :]
+    maskf = mask.astype(dtype)
+    free = (~win.fixed).astype(dtype)
+
+    edge_i = jnp.arange(K - 1)
+    edge_j = edge_i + 1
+
+    def visual_terms(Rwb, pwb, points):
+        R_cw, t_cw = _cam_from_body(Rwb, pwb, win.Rcb, win.tcb)
+        Xc = jnp.einsum("kij,mj->kmi", R_cw, points) + t_cw[:, None, :]
+        pred = cameras.project(Xc, cam_params, model)
+        r = pred - win.obs_uv
+        chi2 = jnp.sum(r * r, axis=-1) * win.obs_inv_sigma2
+        return r, Xc, R_cw, chi2
+
+    def vis_jacobians(Xc, Rwb, pwb, points, R_cw):
+        """J wrt body tangent [theta(3), p(3)] and point.
+
+        With the right-multiplicative body update Rwb <- Rwb Exp(th):
+        x_c = Rcb Exp(-th) Rwb^T (x - p), so
+        d x_c / d th = Rcb hat(y) with y = Rwb^T (x - p),
+        d x_c / d p  = -R_cw, and d x_c / d x = R_cw.
+        """
+        Jproj = cameras.project_jac(Xc, cam_params, model)      # (K,M,2,3)
+        pm = points[None, :, :] - pwb[:, None, :]               # (K,M,3)
+        y = jnp.einsum("kji,kmj->kmi", Rwb, pm)
+        Jth = jnp.einsum("ij,kmjl->kmil", win.Rcb, lie.hat(y))  # (K,M,3,3)
+        Jp = -jnp.broadcast_to(R_cw[:, None], Xc.shape[:2] + (3, 3))
+        JXc_pose = jnp.concatenate([Jth, Jp], axis=-1)          # (K,M,3,6)
+        J_pose = jnp.einsum("kmri,kmij->kmrj", Jproj, JXc_pose)  # (K,M,2,6)
+        J_pt = jnp.einsum("kmri,kij->kmrj", Jproj, R_cw)        # (K,M,2,3)
+        return J_pose, J_pt
+
+    def masked_cost(Rwb, pwb, vel, bg, ba, points):
+        _, _, _, chi2 = visual_terms(Rwb, pwb, points)
+        vis = jnp.sum(jnp.where(mask, jnp.minimum(chi2, 4.0 * chi2_th), 0.0))
+        r_in, _, _ = jax.vmap(
+            lambda st, i, j: _edge_residual_and_jac(
+                st, Rwb[i], pwb[i], vel[i], bg[i], ba[i],
+                Rwb[j], pwb[j], vel[j], gravity)
+        )(win.preint, edge_i, edge_j)
+        inert = jnp.sum(
+            jnp.where(win.edge_valid[:, None], r_in * r_in, 0.0))
+        rw = jax.vmap(lambda i, j: _bias_rw_residual(
+            bg[i], ba[i], bg[j], ba[j], walk_info))(edge_i, edge_j)
+        rw_c = jnp.sum(jnp.where(win.edge_valid[:, None], rw * rw, 0.0))
+        return vis_weight * vis + inert + rw_c
+
+    def lm_step(carry, _):
+        Rwb, pwb, vel, bg, ba, points, lam, prev_cost = carry
+
+        # ---- visual part (landmark Schur as in local_ba) ----
+        r, Xc, R_cw, chi2 = visual_terms(Rwb, pwb, points)
+        w = win.obs_inv_sigma2 * maskf * vis_weight
+        w = w * factors.huber_weight(chi2, chi2_th)
+        J_pose, J_pt = vis_jacobians(Xc, Rwb, pwb, points, R_cw)
+
+        U6 = jnp.einsum("kmri,km,kmrj->kij", J_pose, w, J_pose)   # (K,6,6)
+        V = jnp.einsum("kmri,km,kmrj->mij", J_pt, w, J_pt)        # (M,3,3)
+        Wb = jnp.einsum("kmri,km,kmrj->kmij", J_pose, w, J_pt)    # (K,M,6,3)
+        bc6 = -jnp.einsum("kmri,km,kmr->ki", J_pose, w, r)        # (K,6)
+        bp = -jnp.einsum("kmri,km,kmr->mi", J_pt, w, r)           # (M,3)
+
+        V = V + lam * eye3[None]
+        Vinv = jnp.linalg.inv(V)
+        WVinv = jnp.einsum("kmij,mjl->kmil", Wb, Vinv)
+        S6_off = jnp.einsum("kmil,qmjl->kiqj", WVinv, Wb)         # (K,6,K,6)
+        b6red = bc6 - jnp.einsum("kmil,ml->ki", WVinv, bp)
+
+        # Scatter the 6-dof visual blocks into the 15K system.
+        S = jnp.zeros((K, DOF, K, DOF), dtype)
+        S = S.at[:, :6, :, :6].add(-S6_off)
+        S = S.at[jnp.arange(K), :6, jnp.arange(K), :6].add(U6)
+        b = jnp.zeros((K, DOF), dtype)
+        b = b.at[:, :6].add(b6red)
+
+        # ---- inertial edges ----
+        r_in, Ji, Jj = jax.vmap(
+            lambda st, i, j: _edge_residual_and_jac(
+                st, Rwb[i], pwb[i], vel[i], bg[i], ba[i],
+                Rwb[j], pwb[j], vel[j], gravity)
+        )(win.preint, edge_i, edge_j)                 # (K-1,9),(K-1,9,15)x2
+        ev = win.edge_valid.astype(dtype)[:, None, None]
+        Ji = Ji * ev
+        Jj = Jj * ev
+        S = S.at[edge_i, :, edge_i, :].add(
+            jnp.einsum("eri,erj->eij", Ji, Ji))
+        S = S.at[edge_j, :, edge_j, :].add(
+            jnp.einsum("eri,erj->eij", Jj, Jj))
+        S = S.at[edge_i, :, edge_j, :].add(
+            jnp.einsum("eri,erj->eij", Ji, Jj))
+        S = S.at[edge_j, :, edge_i, :].add(
+            jnp.einsum("eri,erj->eij", Jj, Ji))
+        b = b.at[edge_i].add(-jnp.einsum("eri,er->ei", Ji, r_in))
+        b = b.at[edge_j].add(-jnp.einsum("eri,er->ei", Jj, r_in))
+
+        # ---- bias random walk ----
+        # Residual rw = diag(walk_info) [bg_j-bg_i, ba_j-ba_i] (whitened),
+        # so d rw / d bias_j = diag(walk_info) on the tangent's bias
+        # columns (9:15) and d / d bias_i = -that.
+        rw = jax.vmap(lambda i, j: _bias_rw_residual(
+            bg[i], ba[i], bg[j], ba[j], walk_info))(edge_i, edge_j)
+        rw = rw * win.edge_valid.astype(dtype)[:, None]
+        Jrw = jnp.zeros((6, DOF), dtype).at[:, 9:15].set(
+            jnp.diag(walk_info.astype(dtype)))
+        Jpos = Jrw[None] * win.edge_valid.astype(dtype)[:, None, None]
+        Jneg = -Jpos                                   # (K-1,6,15)
+        S = S.at[edge_i, :, edge_i, :].add(
+            jnp.einsum("eri,erj->eij", Jneg, Jneg))
+        S = S.at[edge_j, :, edge_j, :].add(
+            jnp.einsum("eri,erj->eij", Jpos, Jpos))
+        S = S.at[edge_i, :, edge_j, :].add(
+            jnp.einsum("eri,erj->eij", Jneg, Jpos))
+        S = S.at[edge_j, :, edge_i, :].add(
+            jnp.einsum("eri,erj->eij", Jpos, Jneg))
+        b = b.at[edge_i].add(-jnp.einsum("eri,er->ei", Jneg, rw))
+        b = b.at[edge_j].add(-jnp.einsum("eri,er->ei", Jpos, rw))
+
+        # ---- damp, fix, solve ----
+        S = S.reshape(n, n) + lam * eye_n
+        bflat = b.reshape(n)
+        fmask = jnp.repeat(free, DOF)
+        S = S * fmask[:, None] * fmask[None, :] + jnp.diag(1.0 - fmask)
+        bflat = bflat * fmask
+        Lc, low = jax.scipy.linalg.cho_factor(S + 1e-8 * eye_n, lower=True)
+        d = jax.scipy.linalg.cho_solve((Lc, low), bflat).reshape(K, DOF)
+
+        dp_pts = jnp.einsum(
+            "mij,mj->mi", Vinv,
+            bp - jnp.einsum("kmij,ki->mj", Wb, d[:, :6])
+        ) * win.pt_valid[:, None].astype(dtype)
+
+        Rn, pn, vn, bgn, ban = _apply_delta(Rwb, pwb, vel, bg, ba, d)
+        pts_n = points + dp_pts
+        new_cost = masked_cost(Rn, pn, vn, bgn, ban, pts_n)
+        accept = new_cost < prev_cost
+        out = jax.tree_util.tree_map(
+            lambda a_new, a_old: jnp.where(accept, a_new, a_old),
+            (Rn, pn, vn, bgn, ban, pts_n),
+            (Rwb, pwb, vel, bg, ba, points),
+        )
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        cost = jnp.where(accept, new_cost, prev_cost)
+        return (*out, lam, cost), cost
+
+    cost0 = masked_cost(win.Rwb, win.pwb, win.vel, win.bg, win.ba,
+                        win.points)
+    init = (win.Rwb, win.pwb, win.vel, win.bg, win.ba, win.points,
+            jnp.asarray(lambda0, dtype), cost0)
+    (Rwb, pwb, vel, bg, ba, points, _, total), _ = jax.lax.scan(
+        lm_step, init, None, length=iters)
+
+    _, _, _, chi2 = visual_terms(Rwb, pwb, points)
+    inlier = mask & (chi2 <= chi2_th)
+    return VIResult(Rwb=Rwb, pwb=pwb, vel=vel, bg=bg, ba=ba, points=points,
+                    chi2=chi2, inlier=inlier, total_chi2=total)
+
+# ---------------------------------------------------------------------------
+# Inertial-only initialization (gravity direction, scale, biases, velocities)
+# ---------------------------------------------------------------------------
+
+
+class InertialInitResult(NamedTuple):
+    vel: jax.Array     # (K,3) body velocities
+    Rwg: jax.Array     # (3,3) world-from-"gravity-aligned world"
+    scale: jax.Array   # () map scale correction
+    bg: jax.Array      # (3,)
+    ba: jax.Array      # (3,)
+    cost: jax.Array    # () final cost
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def inertial_init(
+    Rwb,              # (K,3,3) body rotations from visual SLAM (fixed)
+    pwb,              # (K,3) body positions (fixed up to scale)
+    preint: pre.PreintState,  # stacked (K-1,) edges
+    edge_valid,       # (K-1,)
+    gravity_mag: float = 9.81,
+    prior_g: float = 1e2,
+    prior_a: float = 1e6,
+    iters: int = 30,
+) -> InertialInitResult:
+    """Ref: Optimizer::InertialOptimization (/root/reference/src/
+    Optimizer.cc:5391) called from LocalMapping::InitializeIMU (:1437)
+    with staged bias priors. Variables: per-KF velocity, 2-dof gravity
+    direction, log-scale, shared gyro/acc bias; keyframe poses fixed.
+    Solved as one dense AD-Gauss-Newton (packed dim 3K+9)."""
+    K = Rwb.shape[0]
+    dtype = Rwb.dtype
+    edge_i = jnp.arange(K - 1)
+
+    # Initial gravity direction from mean specific force (reference
+    # :1516-1532 uses -sum(R dV)).
+    dirs = -jnp.einsum("eij,ej->ei", Rwb[:-1], preint.dV)
+    dirs = jnp.where(edge_valid[:, None], dirs, 0.0)
+    g0 = jnp.sum(dirs, axis=0)
+    g0 = g0 / jnp.maximum(jnp.linalg.norm(g0), 1e-9)
+    gI = jnp.asarray([0.0, 0.0, -1.0], dtype)
+    v = jnp.cross(gI, g0)
+    s = jnp.linalg.norm(v)
+    c = jnp.dot(gI, g0)
+    Rwg0 = jnp.where(
+        s < 1e-6,
+        jnp.eye(3, dtype=dtype),
+        lie.so3_exp(v / jnp.maximum(s, 1e-9) * jnp.arctan2(s, c)),
+    )
+
+    n_par = 3 * K + 2 + 1 + 6
+
+    def unpack(th):
+        vel = th[: 3 * K].reshape(K, 3)
+        dg = th[3 * K : 3 * K + 2]
+        log_s = th[3 * K + 2]
+        bg = th[3 * K + 3 : 3 * K + 6]
+        ba = th[3 * K + 6 : 3 * K + 9]
+        Rwg = Rwg0 @ lie.so3_exp(jnp.concatenate([dg, jnp.zeros(1, dtype)]))
+        g = Rwg @ jnp.asarray([0.0, 0.0, -gravity_mag], dtype)
+        return vel, Rwg, jnp.exp(log_s), g, bg, ba
+
+    def residuals(th):
+        vel, Rwg, scale, g, bg, ba = unpack(th)
+
+        def edge_res(e):
+            st = jax.tree_util.tree_map(lambda x: x[e], preint)
+            r = pre.inertial_residual(
+                st, Rwb[e], scale * pwb[e], vel[e],
+                Rwb[e + 1], scale * pwb[e + 1], vel[e + 1],
+                bg, ba, gravity=g,
+            )
+            return _whiten(st.cov[:9, :9], r) * edge_valid[e]
+
+        r_edges = jax.vmap(edge_res)(edge_i).reshape(-1)
+        r_prior = jnp.concatenate([
+            jnp.sqrt(jnp.asarray(prior_g, dtype)) * bg,
+            jnp.sqrt(jnp.asarray(prior_a, dtype)) * ba,
+        ])
+        return jnp.concatenate([r_edges, r_prior])
+
+    def gn_step(i, state):
+        th, lam = state
+        r = residuals(th)
+        J = jax.jacfwd(residuals)(th)
+        H = J.T @ J + lam * jnp.eye(n_par, dtype=dtype)
+        b = -J.T @ r
+        dth = jnp.linalg.solve(H, b)
+        th_new = th + dth
+        better = jnp.sum(residuals(th_new) ** 2) < jnp.sum(r * r)
+        th = jnp.where(better, th_new, th)
+        lam = jnp.where(better, lam * 0.5, lam * 4.0)
+        return (th, lam)
+
+    th0 = jnp.zeros((n_par,), dtype)
+    th, _ = jax.lax.fori_loop(0, iters, gn_step,
+                              (th0, jnp.asarray(1e-4, dtype)))
+    vel, Rwg, scale, g, bg, ba = unpack(th)
+    return InertialInitResult(
+        vel=vel, Rwg=Rwg, scale=scale, bg=bg, ba=ba,
+        cost=jnp.sum(residuals(th) ** 2),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frame VI pose-only optimization
+# ---------------------------------------------------------------------------
+
+
+class PoseVIResult(NamedTuple):
+    Rwb: jax.Array
+    pwb: jax.Array
+    vel: jax.Array
+    bg: jax.Array
+    ba: jax.Array
+    inlier: jax.Array
+    n_inliers: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("model", "rounds", "iters"))
+def optimize_pose_vi(
+    Rwb0, pwb0, vel0, bg0, ba0,         # frame state init
+    kf_Rwb, kf_pwb, kf_vel,             # last-keyframe state (fixed)
+    preint: pre.PreintState,            # KF -> frame preintegration
+    X_w, uv, inv_sigma2, valid,         # visual matches
+    cam_params, Rcb, tcb, gravity,
+    walk_info,                          # (6,)
+    model: str = "pinhole",
+    rounds: int = 3,
+    iters: int = 4,
+    chi2_th: float = CHI2_MONO,
+    damping: float = 1e-5,
+) -> PoseVIResult:
+    """Ref: PoseInertialOptimizationLastKeyFrame (Optimizer.cc:7608):
+    frame 15-dof state vs fixed last-keyframe state; visual reprojection
+    + one inertial edge + bias random walk; chi2-gated rounds."""
+    dtype = Rwb0.dtype
+
+    def vis_chi2(Rwb, pwb):
+        R_cw, t_cw = _cam_from_body(Rwb, pwb, Rcb, tcb)
+        Xc = jnp.einsum("ij,nj->ni", R_cw, X_w) + t_cw
+        pred = cameras.project(Xc, cam_params, model)
+        r = pred - uv
+        return r, Xc, R_cw, jnp.sum(r * r, axis=-1) * inv_sigma2
+
+    def gn_iter(carry, use_huber):
+        Rwb, pwb, vel, bg, ba, inlier = carry
+        r, Xc, R_cw, chi2 = vis_chi2(Rwb, pwb)
+        w = inv_sigma2 * inlier.astype(dtype)
+        if use_huber:
+            w = w * factors.huber_weight(chi2, chi2_th)
+
+        Jproj = cameras.project_jac(Xc, cam_params, model)    # (N,2,3)
+        y = jnp.einsum("ji,nj->ni", Rwb, X_w - pwb)
+        Jth = jnp.einsum("ij,njl->nil", Rcb, lie.hat(y))
+        Jp = -jnp.broadcast_to(R_cw, (X_w.shape[0], 3, 3))
+        JXc = jnp.concatenate([Jth, Jp], axis=-1)             # (N,3,6)
+        Jv = jnp.einsum("nri,nij->nrj", Jproj, JXc)           # (N,2,6)
+
+        H = jnp.zeros((DOF, DOF), dtype)
+        b = jnp.zeros((DOF,), dtype)
+        H = H.at[:6, :6].add(jnp.einsum("nri,n,nrj->ij", Jv, w, Jv))
+        b = b.at[:6].add(-jnp.einsum("nri,n,nr->i", Jv, w, r))
+
+        # Inertial edge (KF fixed): AD wrt the frame tangent.
+        def f(d):
+            R2, p2, v2, bg2, ba2 = _apply_delta(Rwb, pwb, vel, bg, ba, d)
+            return _inertial_residual_white(
+                preint, kf_Rwb, kf_pwb, kf_vel, bg2, ba2,
+                R2, p2, v2, gravity)
+
+        z = jnp.zeros(DOF, dtype)
+        r_in = f(z)
+        J_in = jax.jacfwd(f)(z)                              # (9,15)
+        H = H + J_in.T @ J_in
+        b = b - J_in.T @ r_in
+
+        # Bias random walk to the KF's bias estimate (bg0/ba0 as anchor).
+        r_rw = jnp.concatenate([bg - bg0, ba - ba0]) * walk_info
+        J_rw = jnp.zeros((6, DOF), dtype).at[:, 9:15].set(
+            jnp.diag(walk_info.astype(dtype)))
+        H = H + J_rw.T @ J_rw
+        b = b - J_rw.T @ r_rw
+
+        H = H + damping * jnp.eye(DOF, dtype=dtype) * (
+            1.0 + jnp.trace(H) / DOF)
+        d = jnp.linalg.solve(H, b)
+        Rwb, pwb, vel, bg, ba = _apply_delta(Rwb, pwb, vel, bg, ba, d)
+        return (Rwb, pwb, vel, bg, ba, inlier)
+
+    state = (Rwb0, pwb0, vel0, bg0, ba0, valid)
+    for rnd_i in range(rounds):
+        use_huber = rnd_i < rounds - 1
+        state = jax.lax.fori_loop(
+            0, iters, lambda i, c: gn_iter(c, use_huber), state)
+        Rwb, pwb, vel, bg, ba, _ = state
+        _, _, _, chi2 = vis_chi2(Rwb, pwb)
+        inlier = valid & (chi2 <= chi2_th)
+        state = (Rwb, pwb, vel, bg, ba, inlier)
+
+    Rwb, pwb, vel, bg, ba, inlier = state
+    return PoseVIResult(Rwb=Rwb, pwb=pwb, vel=vel, bg=bg, ba=ba,
+                        inlier=inlier,
+                        n_inliers=jnp.sum(inlier).astype(jnp.int32))
