@@ -57,15 +57,22 @@ def make_world(
     raw = rng.uniform(0, 255, size=(n_points, patch_size, patch_size))
     coarse = rng.uniform(0, 255, size=(n_points, 4, 4))
     up = np.kron(coarse, np.ones((1, (patch_size + 3) // 4, (patch_size + 3) // 4)))
-    patches = (0.65 * up[:, :patch_size, :patch_size] + 0.35 * raw).astype(np.float32)
+    # Mostly random texture: a dominant coarse-block component makes
+    # different landmarks' descriptors correlated (they all sample the
+    # same 4x4 block geometry), which hurts place recognition.
+    patches = (0.3 * up[:, :patch_size, :patch_size] + 0.7 * raw).astype(np.float32)
 
-    # Smooth background (low-frequency) so matching can't cheat on borders.
+    # Smooth, LOW-CONTRAST background: local intensity differences stay
+    # below the FAST threshold so no corners fire off-landmark. (The
+    # background is screen-fixed — a high-contrast one would emit
+    # identical corners in every frame, which poisons place recognition
+    # with a shared histogram component no real scene has.)
     gy, gx = np.mgrid[0:h, 0:w]
     background = (
         60
-        + 35 * np.sin(gx / 97.0)
-        + 30 * np.cos(gy / 71.0)
-        + 20 * np.sin((gx + gy) / 53.0)
+        + 6 * np.sin(gx / 97.0)
+        + 5 * np.cos(gy / 71.0)
+        + 4 * np.sin((gx + gy) / 53.0)
     ).astype(np.float32)
 
     cam = np.array([fx, fx, w / 2.0, h / 2.0], np.float32)

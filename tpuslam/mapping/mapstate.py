@@ -42,6 +42,7 @@ class MapState(NamedTuple):
     kf_level: jax.Array     # (K,N)
     kf_desc: jax.Array      # (K,N,8)
     kf_kp_valid: jax.Array  # (K,N)
+    kf_response: jax.Array  # (K,N) FAST score (retrieval gates on it)
     kf_obs_mp: jax.Array    # (K,N) int32 map-point id or -1
     # Map points.
     mp_pos: jax.Array       # (M,3)
@@ -69,6 +70,7 @@ def empty(max_kf: int, max_mp: int, n_feat: int, dtype=jnp.float32) -> MapState:
         kf_level=jnp.zeros((max_kf, n_feat), jnp.int32),
         kf_desc=jnp.zeros((max_kf, n_feat, 8), jnp.uint32),
         kf_kp_valid=jnp.zeros((max_kf, n_feat), bool),
+        kf_response=jnp.zeros((max_kf, n_feat), dtype),
         kf_obs_mp=jnp.full((max_kf, n_feat), -1, jnp.int32),
         mp_pos=jnp.zeros((max_mp, 3), dtype),
         mp_valid=jnp.zeros((max_mp,), bool),
@@ -92,6 +94,7 @@ def add_keyframe(ms: MapState, slot, R, t, feats: FrameFeatures, assoc):
         kf_level=ms.kf_level.at[slot].set(feats.level),
         kf_desc=ms.kf_desc.at[slot].set(feats.desc),
         kf_kp_valid=ms.kf_kp_valid.at[slot].set(feats.valid),
+        kf_response=ms.kf_response.at[slot].set(feats.response),
         kf_obs_mp=ms.kf_obs_mp.at[slot].set(assoc),
     )
 

@@ -41,6 +41,7 @@ from tpuslam.frontend.extractor import FrameFeatures
 from tpuslam.geometry import lie, triangulation, two_view
 from tpuslam.mapping import mapstate
 from tpuslam.solver import local_ba, pose_opt
+from tpuslam.tracking import loop_closing
 
 # ---------------------------------------------------------------------------
 # Jitted device programs
@@ -340,6 +341,9 @@ class MonoTracker:
     trajectory: List[np.ndarray] = field(default_factory=list)
     kf_slots: List[int] = field(default_factory=list)
     stats: dict = field(default_factory=dict)
+    enable_loop_closing: bool = True
+    loop: loop_closing.LoopState = None
+    n_loops_closed: int = 0
 
     def __post_init__(self):
         mcfg = self.cfg.map
@@ -357,6 +361,7 @@ class MonoTracker:
         self.sigma2_lut = jnp.asarray(sf * sf)
         self.inv_sigma2_lut = jnp.asarray(1.0 / (sf * sf))
         self.key = jax.random.PRNGKey(self.cfg.seed)
+        self.loop = loop_closing.LoopState.create(mcfg.max_keyframes)
         self.last_R = np.eye(3, dtype=np.float32)
         self.last_t = np.zeros(3, np.float32)
         self.vel_R = np.eye(3, dtype=np.float32)
@@ -372,8 +377,18 @@ class MonoTracker:
             out = self._initialize(feats)
         elif self.state == "OK":
             out = self._track(feats)
-        else:  # LOST — hold pose (relocalization arrives in a later stage)
-            out = FrameResult("LOST", self.last_R, self.last_t, 0)
+        else:  # LOST: attempt relocalization (Tracking.cc:3764)
+            ok, R, t, n = loop_closing.relocalize(
+                self.loop, self.ms, feats, self.cam_params,
+                self.inv_sigma2_lut)
+            if ok:
+                self.state = "OK"
+                self.last_R, self.last_t = R, t
+                self.vel_R = np.eye(3, dtype=np.float32)
+                self.vel_t = np.zeros(3, np.float32)
+                out = FrameResult("OK", R, t, n)
+            else:
+                out = FrameResult("LOST", self.last_R, self.last_t, 0)
         self.trajectory.append(np.concatenate([
             out.R.reshape(-1), out.t.reshape(-1)]))
         return out
@@ -604,5 +619,26 @@ class MonoTracker:
         # Found-ratio culling (MapPointCulling analog).
         self.ms = mapstate.cull_points(self.ms, self.cfg.map.cull_found_ratio,
                                        min_visible=8)
+
+        # Loop closing (LoopClosing::Run per-keyframe logic).
+        if self.enable_loop_closing:
+            loop_closing.on_new_keyframe(self.loop, self.ms, slot)
+            cand = loop_closing.detect_loop(self.loop, self.ms, slot,
+                                            self.n_kf)
+            if cand is not None:
+                self.key, sub = jax.random.split(self.key)
+                ok, s_cl, R_cl, t_cl = loop_closing.verify_loop(
+                    self.ms, slot, cand, self.cam_params, sub)
+                if ok:
+                    self.ms = loop_closing.correct_loop(
+                        self.loop, self.ms, slot, cand, self.n_kf,
+                        s_cl, R_cl, t_cl)
+                    self.last_R = np.asarray(self.ms.kf_R[slot])
+                    self.last_t = np.asarray(self.ms.kf_t[slot])
+                    self.vel_R = np.eye(3, dtype=np.float32)
+                    self.vel_t = np.zeros(3, np.float32)
+                    self.n_loops_closed += 1
+
         self.stats = {"kf": self.n_kf, "mp": self.n_mp,
-                      "ba_chi2": float(chi2)}
+                      "ba_chi2": float(chi2),
+                      "loops": self.n_loops_closed}
