@@ -1,0 +1,199 @@
+"""EuRoC MAV dataset loader (ASL format).
+
+Replaces the per-example `LoadImages`/`LoadIMU` loops of
+/root/reference/Examples/Monocular/mono_euroc.cc:35 and
+Monocular-Inertial/mono_inertial_euroc.cc: reads `mav0/camX/data.csv`
+(timestamp_ns, filename), `mav0/imu0/data.csv` (timestamp_ns, gyro xyz,
+acc xyz), and `mav0/state_groundtruth_estimate0/data.csv` for ATE
+evaluation, associates IMU windows to frame intervals, and streams
+grayscale frames.
+
+No EuRoC data ships in this container; the loader is exercised by a
+round-trip test on a miniature generated dataset in the same layout.
+"""
+
+from __future__ import annotations
+
+import csv
+from dataclasses import dataclass
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from tpuslam.config import CameraConfig, IMUConfig, ORBConfig, SLAMConfig
+
+
+def euroc_camera_config() -> CameraConfig:
+    """cam0 intrinsics of the EuRoC MAV (Examples/Monocular/EuRoC.yaml)."""
+    return CameraConfig(
+        width=752, height=480,
+        fx=458.654, fy=457.296, cx=367.215, cy=248.375,
+        dist=(-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05),
+        fps=20.0,
+        bf=47.90639384423901,  # stereo preset (Examples/Stereo/EuRoC.yaml)
+    )
+
+
+def euroc_config(sensor: str = "mono") -> SLAMConfig:
+    return SLAMConfig(
+        camera=euroc_camera_config(),
+        orb=ORBConfig(n_features=1024),
+        imu=IMUConfig(freq=200.0, noise_gyro=1.7e-4, noise_acc=2.0e-3,
+                      walk_gyro=1.9e-5, walk_acc=3.0e-3),
+        sensor=sensor,
+    )
+
+
+@dataclass
+class EuRoCSequence:
+    root: Path
+    cam: str = "cam0"
+
+    def __post_init__(self):
+        self.root = Path(self.root)
+        self.frames = self._read_cam_csv(self.root / "mav0" / self.cam
+                                         / "data.csv")
+        imu_csv = self.root / "mav0" / "imu0" / "data.csv"
+        self.imu = self._read_imu_csv(imu_csv) if imu_csv.exists() else None
+        gt_csv = (self.root / "mav0" / "state_groundtruth_estimate0"
+                  / "data.csv")
+        self.ground_truth = (self._read_gt_csv(gt_csv)
+                             if gt_csv.exists() else None)
+
+    # -- csv readers ---------------------------------------------------------
+
+    @staticmethod
+    def _read_cam_csv(path: Path) -> List[Tuple[float, str]]:
+        out = []
+        with open(path) as f:
+            for row in csv.reader(f):
+                if not row or row[0].startswith("#"):
+                    continue
+                out.append((int(row[0]) * 1e-9, row[1].strip()))
+        return out
+
+    @staticmethod
+    def _read_imu_csv(path: Path):
+        ts, gyro, acc = [], [], []
+        with open(path) as f:
+            for row in csv.reader(f):
+                if not row or row[0].startswith("#"):
+                    continue
+                ts.append(int(row[0]) * 1e-9)
+                gyro.append([float(v) for v in row[1:4]])
+                acc.append([float(v) for v in row[4:7]])
+        return {
+            "t": np.asarray(ts),
+            "gyro": np.asarray(gyro, np.float32),
+            "acc": np.asarray(acc, np.float32),
+        }
+
+    @staticmethod
+    def _read_gt_csv(path: Path):
+        ts, pos = [], []
+        with open(path) as f:
+            for row in csv.reader(f):
+                if not row or row[0].startswith("#"):
+                    continue
+                ts.append(int(row[0]) * 1e-9)
+                pos.append([float(v) for v in row[1:4]])
+        return {"t": np.asarray(ts), "pos": np.asarray(pos, np.float64)}
+
+    # -- access --------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.frames)
+
+    def timestamp(self, i: int) -> float:
+        return self.frames[i][0]
+
+    def image(self, i: int) -> np.ndarray:
+        """Grayscale float32 (H,W) in [0,255]."""
+        from PIL import Image
+
+        ts, name = self.frames[i]
+        path = self.root / "mav0" / self.cam / "data" / name
+        img = np.asarray(Image.open(path).convert("L"), np.float32)
+        return img
+
+    def imu_between(self, i: int, j: int):
+        """IMU samples with frame_i <= t < frame_j (PreintegrateIMU's
+        queue-draining, src/Tracking.cc:1217). Returns (gyro, acc, dt)."""
+        if self.imu is None:
+            return None
+        t0, t1 = self.timestamp(i), self.timestamp(j)
+        sel = (self.imu["t"] >= t0) & (self.imu["t"] < t1)
+        idx = np.nonzero(sel)[0]
+        if idx.size == 0:
+            return None
+        t = self.imu["t"][idx]
+        dt = np.diff(np.append(t, t1)).astype(np.float32)
+        return self.imu["gyro"][idx], self.imu["acc"][idx], dt
+
+    def gt_positions_at(self, timestamps) -> Optional[np.ndarray]:
+        """Ground-truth positions interpolated at the given times
+        (associate.py's timestamp association, evaluation/associate.py)."""
+        if self.ground_truth is None:
+            return None
+        gt_t = self.ground_truth["t"]
+        gt_p = self.ground_truth["pos"]
+        out = np.stack([
+            np.interp(timestamps, gt_t, gt_p[:, k]) for k in range(3)
+        ], axis=1)
+        return out
+
+
+def write_mini_sequence(root: Path, images: List[np.ndarray],
+                        timestamps: List[float],
+                        imu: Optional[dict] = None,
+                        gt: Optional[np.ndarray] = None):
+    """Write a miniature dataset in the EuRoC ASL layout (test fixture)."""
+    from PIL import Image
+
+    root = Path(root)
+    cam = root / "mav0" / "cam0"
+    (cam / "data").mkdir(parents=True, exist_ok=True)
+    with open(cam / "data.csv", "w") as f:
+        f.write("#timestamp [ns],filename\n")
+        for ts, img in zip(timestamps, images):
+            name = f"{int(ts * 1e9)}.png"
+            Image.fromarray(img.astype(np.uint8)).save(cam / "data" / name)
+            f.write(f"{int(ts * 1e9)},{name}\n")
+    if imu is not None:
+        imud = root / "mav0" / "imu0"
+        imud.mkdir(parents=True, exist_ok=True)
+        with open(imud / "data.csv", "w") as f:
+            f.write("#timestamp,wx,wy,wz,ax,ay,az\n")
+            for t, g, a in zip(imu["t"], imu["gyro"], imu["acc"]):
+                f.write(f"{int(t * 1e9)},{g[0]},{g[1]},{g[2]},"
+                        f"{a[0]},{a[1]},{a[2]}\n")
+    if gt is not None:
+        gtd = root / "mav0" / "state_groundtruth_estimate0"
+        gtd.mkdir(parents=True, exist_ok=True)
+        with open(gtd / "data.csv", "w") as f:
+            f.write("#timestamp,px,py,pz\n")
+            for ts, p in zip(timestamps, gt):
+                f.write(f"{int(ts * 1e9)},{p[0]},{p[1]},{p[2]}\n")
+
+
+def run_sequence(seq: EuRoCSequence, cfg: Optional[SLAMConfig] = None,
+                 max_frames: Optional[int] = None, quiet: bool = True):
+    """mono_euroc.cc's main loop: stream frames through a System, return
+    (system, ate_result_or_None)."""
+    from tpuslam.eval import ate as ate_mod
+    from tpuslam.system import System
+
+    cfg = cfg or euroc_config()
+    sysm = System(cfg)
+    n = len(seq) if max_frames is None else min(len(seq), max_frames)
+    for i in range(n):
+        out = sysm.track_monocular(seq.image(i), seq.timestamp(i))
+        if not quiet and i % 20 == 0:
+            print(f"[{i}] {out.state} inliers={out.n_inliers}")
+    res = None
+    gt = seq.gt_positions_at(np.asarray(sysm.timestamps))
+    if gt is not None and len(gt) > 2:
+        est = sysm.tracker.positions()
+        res = ate_mod.ate(gt[2:], est[2:])
+    return sysm, res

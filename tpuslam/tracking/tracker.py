@@ -344,6 +344,9 @@ class MonoTracker:
     enable_loop_closing: bool = True
     loop: loop_closing.LoopState = None
     n_loops_closed: int = 0
+    atlas: "object" = None          # mapping.atlas.Atlas
+    lost_count: int = 0
+    lost_patience: int = 20         # frames of failed reloc before new map
 
     def __post_init__(self):
         mcfg = self.cfg.map
@@ -360,8 +363,11 @@ class MonoTracker:
         self.scale_lut = jnp.asarray(sf)
         self.sigma2_lut = jnp.asarray(sf * sf)
         self.inv_sigma2_lut = jnp.asarray(1.0 / (sf * sf))
+        from tpuslam.mapping.atlas import Atlas
+
         self.key = jax.random.PRNGKey(self.cfg.seed)
         self.loop = loop_closing.LoopState.create(mcfg.max_keyframes)
+        self.atlas = Atlas()
         self.last_R = np.eye(3, dtype=np.float32)
         self.last_t = np.zeros(3, np.float32)
         self.vel_R = np.eye(3, dtype=np.float32)
@@ -383,11 +389,17 @@ class MonoTracker:
                 self.inv_sigma2_lut)
             if ok:
                 self.state = "OK"
+                self.lost_count = 0
                 self.last_R, self.last_t = R, t
                 self.vel_R = np.eye(3, dtype=np.float32)
                 self.vel_t = np.zeros(3, np.float32)
                 out = FrameResult("OK", R, t, n)
             else:
+                self.lost_count += 1
+                if self.lost_count > self.lost_patience:
+                    # Atlas elastic recovery (CreateMapInAtlas /
+                    # ResetActiveMap, src/Tracking.cc:2658/:3995).
+                    self._new_map_in_atlas()
                 out = FrameResult("LOST", self.last_R, self.last_t, 0)
         self.trajectory.append(np.concatenate([
             out.R.reshape(-1), out.t.reshape(-1)]))
@@ -498,6 +510,24 @@ class MonoTracker:
         self.stats["mp"] = self.n_mp
         return FrameResult("OK", self.last_R, self.last_t, self.ref_tracked,
                            is_keyframe=True)
+
+    def _new_map_in_atlas(self):
+        """Archive the current map (if it earned enough keyframes) and
+        start a fresh active map — the Atlas elastic-recovery path."""
+        from tpuslam.mapping.atlas import ArchivedMap
+
+        kept = self.atlas.archive(ArchivedMap(
+            ms=self.ms, kf_slots=list(self.kf_slots), n_kf=self.n_kf,
+            n_mp=self.n_mp, trajectory=list(self.trajectory),
+            n_loops=self.n_loops_closed,
+        ))
+        self._reset_init()
+        self.loop = loop_closing.LoopState.create(self.cfg.map.max_keyframes)
+        self.state = "NOT_INITIALIZED"
+        self.lost_count = 0
+        self.vel_R = np.eye(3, dtype=np.float32)
+        self.vel_t = np.zeros(3, np.float32)
+        return kept
 
     def _reset_init(self):
         self.ms = mapstate.empty(self.cfg.map.max_keyframes,
