@@ -1,0 +1,75 @@
+"""Auxiliary subsystems: profiling, viz dump, fault injection."""
+
+import numpy as np
+
+from tpuslam.datasets import faults, synthetic
+from tpuslam.utils.profiling import StageTimer
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("orb_extraction"):
+        pass
+    with t.stage("local_ba"):
+        pass
+    with t.stage("local_ba"):
+        pass
+    rep = t.report()
+    assert rep["local_ba"]["calls"] == 2
+    assert "orb_extraction" in t.summary()
+
+
+def test_fault_injection_blackout():
+    sched = faults.FaultSchedule.blackout(5, 3)
+    img = np.random.default_rng(0).uniform(0, 255, (32, 32)).astype(
+        np.float32)
+    out = faults.apply_frame_fault(img, 6, sched)
+    assert np.all(out == out.flat[0])         # constant frame
+    same = faults.apply_frame_fault(img, 2, sched)
+    np.testing.assert_array_equal(same, img)  # untouched outside schedule
+    g = np.ones((10, 3)); a = np.ones((10, 3))
+    _, _, mask = faults.apply_imu_fault(
+        g, a, 1, faults.FaultSchedule(drop_imu_windows=frozenset([1])))
+    assert not mask.any()
+
+
+def test_viz_dump_and_plot(tmp_path):
+    from tpuslam import viz
+    from tpuslam.mapping import mapstate
+
+    ms = mapstate.empty(8, 64, 16)
+    ms = ms._replace(
+        mp_valid=ms.mp_valid.at[:10].set(True),
+        kf_valid=ms.kf_valid.at[:3].set(True),
+    )
+    traj = [np.concatenate([np.eye(3).reshape(-1),
+                            np.array([0.1 * i, 0, 0])]) for i in range(5)]
+    viz.dump_map(ms, tmp_path / "map.npz", traj)
+    data = np.load(tmp_path / "map.npz")
+    assert data["mp_pos"].shape == (10, 3)
+    assert data["kf_R"].shape == (3, 3, 3)
+    assert data["traj"].shape == (5, 3)
+    viz.plot_map(ms, tmp_path / "map.png", traj)
+    assert (tmp_path / "map.png").stat().st_size > 1000
+
+
+def test_tracker_records_stage_times():
+    from tpuslam.config import CameraConfig, ORBConfig, SLAMConfig
+    from tpuslam.tracking.tracker import MonoTracker
+
+    h, w = 480, 640
+    world = synthetic.make_world(n_points=300, h=h, w=w, seed=0)
+    poses = synthetic.orbit_trajectory(12, arc=0.12 * np.pi)
+    cfg = SLAMConfig(
+        camera=CameraConfig(width=w, height=h, fx=float(world.cam[0]),
+                            fy=float(world.cam[1]), cx=float(world.cam[2]),
+                            cy=float(world.cam[3])),
+        orb=ORBConfig(n_features=512),
+    )
+    tr = MonoTracker(cfg)
+    for R, t in poses:
+        tr.process(synthetic.render(world, R, t))
+    rep = tr.timer.report()
+    assert rep["orb_extraction"]["calls"] == len(poses)
+    if tr.state == "OK":
+        assert "local_map_track" in rep

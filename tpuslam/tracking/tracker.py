@@ -347,6 +347,7 @@ class MonoTracker:
     atlas: "object" = None          # mapping.atlas.Atlas
     lost_count: int = 0
     lost_patience: int = 20         # frames of failed reloc before new map
+    timer: "object" = None          # utils.profiling.StageTimer
 
     def __post_init__(self):
         mcfg = self.cfg.map
@@ -364,10 +365,12 @@ class MonoTracker:
         self.sigma2_lut = jnp.asarray(sf * sf)
         self.inv_sigma2_lut = jnp.asarray(1.0 / (sf * sf))
         from tpuslam.mapping.atlas import Atlas
+        from tpuslam.utils.profiling import StageTimer
 
         self.key = jax.random.PRNGKey(self.cfg.seed)
         self.loop = loop_closing.LoopState.create(mcfg.max_keyframes)
         self.atlas = Atlas()
+        self.timer = StageTimer()
         self.last_R = np.eye(3, dtype=np.float32)
         self.last_t = np.zeros(3, np.float32)
         self.vel_R = np.eye(3, dtype=np.float32)
@@ -377,8 +380,9 @@ class MonoTracker:
     # -- public API ---------------------------------------------------------
 
     def process(self, img: np.ndarray) -> FrameResult:
-        feats = extractor.extract_jit(jnp.asarray(img, jnp.float32),
-                                      self.cfg.orb)
+        with self.timer.stage("orb_extraction"):
+            feats = extractor.extract_jit(jnp.asarray(img, jnp.float32),
+                                          self.cfg.orb)
         if self.state == "NOT_INITIALIZED":
             out = self._initialize(feats)
         elif self.state == "OK":
@@ -572,14 +576,15 @@ class MonoTracker:
         kf_ids, _, mp_ids, _ = self._window()
         safe = jnp.clip(mp_ids, 0, self.ms.mp_capacity - 1)
         mp_ok = (mp_ids >= 0) & self.ms.mp_valid[safe]
-        R, t, assoc, n_inl, visible_ids, found_ids = _track_pose(
-            R_pred, t_pred,
-            mp_ids, self.ms.mp_pos[safe], self.ms.mp_desc[safe],
-            self.ms.mp_level[safe], mp_ok,
-            feats, self.cam_params, self.scale_lut, self.inv_sigma2_lut,
-            self.img_wh,
-        )
-        n_inl = int(n_inl)
+        with self.timer.stage("local_map_track"):
+            R, t, assoc, n_inl, visible_ids, found_ids = _track_pose(
+                R_pred, t_pred,
+                mp_ids, self.ms.mp_pos[safe], self.ms.mp_desc[safe],
+                self.ms.mp_level[safe], mp_ok,
+                feats, self.cam_params, self.scale_lut, self.inv_sigma2_lut,
+                self.img_wh,
+            )
+            n_inl = int(n_inl)
         self.ms = mapstate.update_point_stats(self.ms, visible_ids, found_ids)
 
         if n_inl < tcfg.min_inliers_track:
@@ -612,62 +617,70 @@ class MonoTracker:
 
     def _create_keyframe(self, feats, R, t, assoc, n_inl: int):
         slot = self.n_kf
-        self.ms = mapstate.add_keyframe(self.ms, slot, R, t, feats, assoc)
+        with self.timer.stage("kf_insert"):
+            self.ms = mapstate.add_keyframe(self.ms, slot, R, t, feats,
+                                            assoc)
         self.n_kf += 1
         self.kf_slots.append(slot)
         self.frames_since_kf = 0
         self.ref_tracked = max(n_inl, 1)
 
         # Triangulate vs up to 2 previous keyframes.
-        _, _, near_ids, _ = self._window()
-        near_safe = jnp.clip(near_ids, 0, self.ms.mp_capacity - 1)
-        for prev in self.kf_slots[-3:-1]:
-            near_pos = self.ms.mp_pos[near_safe]
-            near_ok = (near_ids >= 0) & self.ms.mp_valid[near_safe]
-            self.ms, n_new = _triangulate_between(
-                self.ms, prev, slot, jnp.int32(self.n_mp),
-                self.cam_params, self.sigma2_lut, near_pos, near_ok,
-                focal=float(self.cfg.camera.fx),
-            )
-            self.n_mp += int(n_new)
+        with self.timer.stage("triangulation"):
+            _, _, near_ids, _ = self._window()
+            near_safe = jnp.clip(near_ids, 0, self.ms.mp_capacity - 1)
+            for prev in self.kf_slots[-3:-1]:
+                near_pos = self.ms.mp_pos[near_safe]
+                near_ok = (near_ids >= 0) & self.ms.mp_valid[near_safe]
+                self.ms, n_new = _triangulate_between(
+                    self.ms, prev, slot, jnp.int32(self.n_mp),
+                    self.cam_params, self.sigma2_lut, near_pos, near_ok,
+                    focal=float(self.cfg.camera.fx),
+                )
+                self.n_mp += int(n_new)
 
         # Fuse: densify cross-observations over the recent keyframes.
-        _, _, fuse_ids, _ = self._window()
-        for s in self.kf_slots[-4:]:
-            self.ms = _fuse_into_kf(
-                self.ms, s, fuse_ids, self.cam_params, self.scale_lut,
-                self.inv_sigma2_lut, self.img_wh,
-            )
+        with self.timer.stage("fuse"):
+            _, _, fuse_ids, _ = self._window()
+            for s in self.kf_slots[-4:]:
+                self.ms = _fuse_into_kf(
+                    self.ms, s, fuse_ids, self.cam_params, self.scale_lut,
+                    self.inv_sigma2_lut, self.img_wh,
+                )
 
         # Local BA on the temporal window.
-        kf_ids, fixed, mp_ids, local = self._window()
-        self.ms, chi2 = _run_local_ba(
-            self.ms, kf_ids, fixed, mp_ids, local,
-            self.inv_sigma2_lut, self.cam_params,
-            iters=self.cfg.solver.ba_iters,
-        )
+        with self.timer.stage("local_ba"):
+            kf_ids, fixed, mp_ids, local = self._window()
+            self.ms, chi2 = _run_local_ba(
+                self.ms, kf_ids, fixed, mp_ids, local,
+                self.inv_sigma2_lut, self.cam_params,
+                iters=self.cfg.solver.ba_iters,
+            )
         # Found-ratio culling (MapPointCulling analog).
-        self.ms = mapstate.cull_points(self.ms, self.cfg.map.cull_found_ratio,
-                                       min_visible=8)
+        with self.timer.stage("culling"):
+            self.ms = mapstate.cull_points(
+                self.ms, self.cfg.map.cull_found_ratio, min_visible=8)
 
         # Loop closing (LoopClosing::Run per-keyframe logic).
         if self.enable_loop_closing:
             loop_closing.on_new_keyframe(self.loop, self.ms, slot)
-            cand = loop_closing.detect_loop(self.loop, self.ms, slot,
-                                            self.n_kf)
+            with self.timer.stage("loop_detect"):
+                cand = loop_closing.detect_loop(self.loop, self.ms, slot,
+                                                self.n_kf)
             if cand is not None:
                 self.key, sub = jax.random.split(self.key)
-                ok, s_cl, R_cl, t_cl = loop_closing.verify_loop(
-                    self.ms, slot, cand, self.cam_params, sub)
-                if ok:
-                    self.ms = loop_closing.correct_loop(
-                        self.loop, self.ms, slot, cand, self.n_kf,
-                        s_cl, R_cl, t_cl)
-                    self.last_R = np.asarray(self.ms.kf_R[slot])
-                    self.last_t = np.asarray(self.ms.kf_t[slot])
-                    self.vel_R = np.eye(3, dtype=np.float32)
-                    self.vel_t = np.zeros(3, np.float32)
-                    self.n_loops_closed += 1
+                with self.timer.stage("loop_correct"):
+                    ok, s_cl, R_cl, t_cl = loop_closing.verify_loop(
+                        self.ms, slot, cand, self.cam_params, sub)
+                    if ok:
+                        self.ms = loop_closing.correct_loop(
+                            self.loop, self.ms, slot, cand, self.n_kf,
+                            s_cl, R_cl, t_cl)
+                        self.last_R = np.asarray(self.ms.kf_R[slot])
+                        self.last_t = np.asarray(self.ms.kf_t[slot])
+                        self.vel_R = np.eye(3, dtype=np.float32)
+                        self.vel_t = np.zeros(3, np.float32)
+                        self.n_loops_closed += 1
 
         self.stats = {"kf": self.n_kf, "mp": self.n_mp,
                       "ba_chi2": float(chi2),
