@@ -1,0 +1,66 @@
+"""Mono-inertial end-to-end: rendered frames + simulated IMU.
+
+The decisive observable of IMU initialization is METRIC SCALE: after
+init, the estimated trajectory must match ground truth WITHOUT scale
+alignment (mono-only can never achieve this)."""
+
+import numpy as np
+import pytest
+
+from tpuslam.config import CameraConfig, IMUConfig, ORBConfig, SLAMConfig
+from tpuslam.datasets import synthetic
+from tpuslam.eval import ate
+from tpuslam.eval.ate import align_horn
+from tpuslam.system import System
+
+
+@pytest.mark.slow
+def test_mono_inertial_metric_scale():
+    h, w = 480, 640
+    n_frames = 80
+    fps, freq = 20.0, 200.0
+    sim = synthetic.simulate_imu(
+        n_frames, fps=fps, imu_freq=freq, arc=0.8 * np.pi,
+        bias_gyro=(0.002, -0.001, 0.003),
+    )
+    world = synthetic.make_world(n_points=400, h=h, w=w, seed=0)
+    cfg = SLAMConfig(
+        camera=CameraConfig(width=w, height=h, fx=float(world.cam[0]),
+                            fy=float(world.cam[1]), cx=float(world.cam[2]),
+                            cy=float(world.cam[3]), fps=fps),
+        orb=ORBConfig(n_features=1024),
+        imu=IMUConfig(freq=freq),
+        sensor="imu_mono",
+    )
+    sysm = System(cfg)
+    dt = np.full((int(freq / fps),), 1.0 / freq, np.float32)
+    init_frame = None
+    for i, (R, t) in enumerate(sim["poses"]):
+        img = synthetic.render(world, R, t)
+        imu = None
+        if i > 0:
+            imu = (sim["imu_gyro"][i - 1], sim["imu_acc"][i - 1], dt)
+        sysm.track_monocular_inertial(img, imu, timestamp=i / fps)
+        if init_frame is None and sysm.tracker.imu_initialized:
+            init_frame = i
+
+    tr = sysm.tracker
+    assert tr.state == "OK"
+    assert tr.imu_initialized, "IMU never initialized"
+    # Gyro bias sane (coarse: the short init window lets the bias absorb
+    # visual-chain rotation noise; the reference's later VIBA stages
+    # refine it — round 2).
+    np.testing.assert_allclose(tr.bg, [0.002, -0.001, 0.003], atol=0.05)
+
+    # Evaluate the POST-INIT segment only: frames before IMU init were
+    # recorded at the arbitrary visual scale (the reference's trajectory
+    # export rewrites them through updated keyframe poses — round 2).
+    est = tr.positions()[init_frame + 1:]
+    gt = np.stack([-R.T @ t for R, t in sim["poses"]])[init_frame + 1:]
+    res = ate.ate(gt, est)
+    # Metric scale: Horn's optimal scale must be ~1 (mono-only runs on
+    # this fixture come out at scale ~6-9). The short (~1.5 s) init
+    # window leaves 10-30% scale error, refined by later VIBA stages.
+    assert 0.7 < res.scale < 1.4, f"scale {res.scale} not metric"
+    # Unscaled ATE bounded (drift still present, no loop closure here).
+    assert res.rmse < 2.0, res.rmse

@@ -342,12 +342,37 @@ def inertial_init(
     dtype = Rwb.dtype
     edge_i = jnp.arange(K - 1)
 
-    # Initial gravity direction from mean specific force (reference
-    # :1516-1532 uses -sum(R dV)).
-    dirs = -jnp.einsum("eij,ej->ei", Rwb[:-1], preint.dV)
-    dirs = jnp.where(edge_valid[:, None], dirs, 0.0)
-    g0 = jnp.sum(dirs, axis=0)
-    g0 = g0 / jnp.maximum(jnp.linalg.norm(g0), 1e-9)
+    # --- Closed-form linear visual-inertial alignment (the standard
+    # Martinelli/VINS-Mono initializer): solve LS for
+    # [s, g(3), v_1..v_K] from
+    #   s (p_{i+1}-p_i) = v_i dT + 0.5 g dT^2 + R_i dP_i
+    #   v_{i+1} = v_i + g dT + R_i dV_i .
+    # Starting the nonlinear MAP refinement at scale=1 (the reference's
+    # VertexScale default) stalls when the true scale is far from 1.
+    E9 = K - 1
+    n_lin = 4 + 3 * K
+    A = jnp.zeros((6 * E9, n_lin), dtype)
+    b = jnp.zeros((6 * E9,), dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    for e in range(E9):  # static small loop; unrolled at trace time
+        dT = preint.dT[e]
+        row_p = 6 * e
+        row_v = 6 * e + 3
+        dp = pwb[e + 1] - pwb[e]
+        A = A.at[row_p:row_p + 3, 0].set(dp)
+        A = A.at[row_p:row_p + 3, 1:4].set(-0.5 * dT * dT * eye3)
+        A = A.at[row_p:row_p + 3, 4 + 3 * e:7 + 3 * e].set(-dT * eye3)
+        b = b.at[row_p:row_p + 3].set(Rwb[e] @ preint.dP[e])
+        A = A.at[row_v:row_v + 3, 1:4].set(-dT * eye3)
+        A = A.at[row_v:row_v + 3, 4 + 3 * e:7 + 3 * e].set(-eye3)
+        A = A.at[row_v:row_v + 3, 7 + 3 * e:10 + 3 * e].set(eye3)
+        b = b.at[row_v:row_v + 3].set(Rwb[e] @ preint.dV[e])
+    x_lin = jnp.linalg.lstsq(A, b)[0]
+    s_lin = jnp.maximum(x_lin[0], 1e-3)
+    g_lin = x_lin[1:4]
+    v_lin = x_lin[4:].reshape(K, 3)
+
+    g0 = g_lin / jnp.maximum(jnp.linalg.norm(g_lin), 1e-9)
     gI = jnp.asarray([0.0, 0.0, -1.0], dtype)
     v = jnp.cross(gI, g0)
     s = jnp.linalg.norm(v)
@@ -403,6 +428,8 @@ def inertial_init(
         return (th, lam)
 
     th0 = jnp.zeros((n_par,), dtype)
+    th0 = th0.at[: 3 * K].set(v_lin.reshape(-1))
+    th0 = th0.at[3 * K + 2].set(jnp.log(s_lin))
     th, _ = jax.lax.fori_loop(0, iters, gn_step,
                               (th0, jnp.asarray(1e-4, dtype)))
     vel, Rwg, scale, g, bg, ba = unpack(th)

@@ -36,9 +36,9 @@ class System:
     def __init__(self, cfg: SLAMConfig):
         if cfg.sensor not in self.SENSORS:
             raise ValueError(f"unknown sensor mode {cfg.sensor!r}")
-        if cfg.sensor not in ("mono",):
+        if cfg.sensor not in ("mono", "imu_mono"):
             # Front-end pieces for stereo exist (frontend/stereo.py); the
-            # full stereo/inertial tracker wiring lands next round.
+            # full stereo tracker wiring lands next round.
             raise NotImplementedError(
                 f"sensor mode {cfg.sensor!r} not wired into the tracker yet")
         self.cfg = cfg
@@ -65,6 +65,17 @@ class System:
             finally:
                 self.tracker._need_keyframe = prev
         return self.tracker.process(img)
+
+    def track_monocular_inertial(self, img: np.ndarray, imu,
+                                 timestamp: Optional[float] = None
+                                 ) -> FrameResult:
+        """TrackMonocular with IMU (imu = (gyro (S,3), acc (S,3), dt (S,))
+        samples since the previous frame)."""
+        if self._shutdown:
+            raise RuntimeError("system is shut down")
+        ts = time.time() if timestamp is None else float(timestamp)
+        self.timestamps.append(ts)
+        return self.tracker.process(img, imu=imu)
 
     # -- modes / lifecycle ---------------------------------------------------
 

@@ -348,6 +348,16 @@ class MonoTracker:
     lost_count: int = 0
     lost_patience: int = 20         # frames of failed reloc before new map
     timer: "object" = None          # utils.profiling.StageTimer
+    # -- inertial state (sensor == "imu_mono"; body frame == camera for
+    # Tbc == I — general extrinsics land with the full VI tracker).
+    imu_initialized: bool = False
+    vel: np.ndarray = None          # world velocity of the last frame
+    bg: np.ndarray = None           # gyro bias estimate
+    ba: np.ndarray = None           # acc bias estimate
+    cur_preint: "object" = None     # PreintState since last keyframe
+    frame_preint: "object" = None   # PreintState of the last frame gap
+    kf_preint: dict = field(default_factory=dict)  # slot -> preint from prev
+    kf_vel: dict = field(default_factory=dict)     # slot -> world velocity
 
     def __post_init__(self):
         mcfg = self.cfg.map
@@ -371,6 +381,18 @@ class MonoTracker:
         self.loop = loop_closing.LoopState.create(mcfg.max_keyframes)
         self.atlas = Atlas()
         self.timer = StageTimer()
+        if self.cfg.sensor == "imu_mono":
+            from tpuslam.imu import preintegration as pre
+
+            icfg = self.cfg.imu
+            self._nga, self._walk = pre.discrete_noise(
+                icfg.noise_gyro, icfg.noise_acc, icfg.walk_gyro,
+                icfg.walk_acc, icfg.freq)
+            self.vel = np.zeros(3, np.float32)
+            self.bg = np.zeros(3, np.float32)
+            self.ba = np.zeros(3, np.float32)
+            self.cur_preint = pre.init_state()
+        self._vel_pred = None
         self.last_R = np.eye(3, dtype=np.float32)
         self.last_t = np.zeros(3, np.float32)
         self.vel_R = np.eye(3, dtype=np.float32)
@@ -379,7 +401,14 @@ class MonoTracker:
 
     # -- public API ---------------------------------------------------------
 
-    def process(self, img: np.ndarray) -> FrameResult:
+    def process(self, img: np.ndarray, imu=None) -> FrameResult:
+        """Track one frame. `imu` (sensor == imu_mono): tuple
+        (gyro (S,3), acc (S,3), dt (S,)) of samples since the previous
+        frame (GrabImuData + PreintegrateIMU, src/Tracking.cc:1202/1217).
+        """
+        if imu is not None and self.cfg.sensor == "imu_mono":
+            with self.timer.stage("imu_preintegration"):
+                self._integrate_imu(*imu)
         with self.timer.stage("orb_extraction"):
             feats = extractor.extract_jit(jnp.asarray(img, jnp.float32),
                                           self.cfg.orb)
@@ -502,6 +531,11 @@ class MonoTracker:
 
         self.ms = ms
         self.state = "OK"
+        if self.cfg.sensor == "imu_mono":
+            # KF1 is the root of the keyframe preintegration chain.
+            from tpuslam.imu import preintegration as pre
+            self.cur_preint = pre.init_state(jnp.asarray(self.bg),
+                                             jnp.asarray(self.ba))
         self.last_R = np.asarray(ms.kf_R[1])
         self.last_t = np.asarray(ms.kf_t[1])
         # Velocity guess: relative motion of the two init keyframes spread
@@ -567,11 +601,114 @@ class MonoTracker:
         )
         return kf_ids_j, jnp.asarray(fixed), mp_ids, local
 
+    # -- inertial plumbing ---------------------------------------------------
+
+    def _integrate_imu(self, gyro, acc, dt):
+        """Integrate the frame gap's samples into both the keyframe-level
+        and the per-frame preintegrations."""
+        from tpuslam.imu import preintegration as pre
+
+        g = jnp.asarray(gyro, jnp.float32)
+        a = jnp.asarray(acc, jnp.float32)
+        h = jnp.asarray(dt, jnp.float32)
+        m = jnp.ones(g.shape[0], bool)
+        bg = jnp.asarray(self.bg)
+        ba = jnp.asarray(self.ba)
+        self.frame_preint = pre.integrate(
+            pre.init_state(bg, ba), a, g, h, m, self._nga, self._walk)
+        self.cur_preint = pre.integrate(
+            self.cur_preint, a, g, h, m, self._nga, self._walk)
+
+    def _imu_predict(self):
+        """PredictStateIMU (src/Tracking.cc:1372): propagate the last
+        frame's body state through the frame preintegration."""
+        from tpuslam.imu import preintegration as pre
+
+        Rwb = jnp.asarray(self.last_R.T)
+        pwb = jnp.asarray(-self.last_R.T @ self.last_t)
+        Rj, pj, vj = pre.predict(
+            self.frame_preint, Rwb, pwb, jnp.asarray(self.vel),
+            jnp.asarray(self.bg), jnp.asarray(self.ba))
+        R_cw = jnp.swapaxes(Rj, -1, -2)
+        t_cw = -jnp.einsum("ij,j->i", R_cw, pj)
+        return R_cw, t_cw, np.asarray(vj)
+
+    def _try_imu_init(self):
+        """IMU init ladder entry (LocalMapping::InitializeIMU,
+        src/LocalMapping.cc:1437): inertial-only optimization over the
+        keyframe chain, then ApplyScaledRotation to the whole map."""
+        from tpuslam.solver import vi_ba
+
+        # Chain: use the LAST <=8 keyframes (kf_preint[s] holds the
+        # preintegration from the previous keyframe to s). The young
+        # map's early keyframes carry mono scale drift; a recent window
+        # is internally scale-consistent (the reference equally windows
+        # InertialOptimization over the latest keyframes).
+        if len(self.kf_slots) < 2:
+            return
+        chain = [self.kf_slots[1]] + [
+            s for s in self.kf_slots[2:] if s in self.kf_preint]
+        slots = chain[-8:]
+        if len(slots) < 6:
+            return
+        Rwb = jnp.asarray(np.stack(
+            [np.asarray(self.ms.kf_R[s]).T for s in slots]))
+        pwb = jnp.asarray(np.stack(
+            [-np.asarray(self.ms.kf_R[s]).T @ np.asarray(self.ms.kf_t[s])
+             for s in slots]))
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[self.kf_preint[s] for s in slots[1:]])
+        res = vi_ba.inertial_init(
+            Rwb, pwb, stacked, jnp.ones((len(slots) - 1,), bool),
+            gravity_mag=self.cfg.imu.gravity,
+        )
+        s = float(res.scale)
+        # Scale sanity (LocalMapping.cc:1558) + STABILITY gate: early
+        # attempts are biased by the young map's scale drift (whitened
+        # cost cannot discriminate — visual pose noise dominates it), so
+        # commit only once two consecutive keyframes' estimates agree.
+        if not (0.1 < s < 50.0) or not np.isfinite(s):
+            return
+        prev = getattr(self, "_init_scale_prev", None)
+        self._init_scale_prev = s
+        if prev is None or abs(s - prev) > 0.15 * max(s, prev):
+            return
+        # ApplyScaledRotation (Map.h:122): x' = s Rwg^T x so gravity
+        # aligns with -z and the map becomes metric.
+        Rgw = jnp.asarray(res.Rwg).T
+        self.ms = self.ms._replace(
+            mp_pos=s * jnp.einsum("ij,mj->mi", Rgw, self.ms.mp_pos),
+            kf_R=jnp.einsum("kij,jl->kil", self.ms.kf_R,
+                            jnp.asarray(res.Rwg)),
+            kf_t=s * self.ms.kf_t,
+        )
+        self.last_R = np.asarray(self.ms.kf_R[self.kf_slots[-1]])
+        self.last_t = np.asarray(self.ms.kf_t[self.kf_slots[-1]])
+        self.bg = np.asarray(res.bg)
+        self.ba = np.asarray(res.ba)
+        self.vel = np.asarray(Rgw @ jnp.asarray(res.vel[-1]))
+        self.vel_t = self.vel_t * s
+        Rgw_np = np.asarray(Rgw)
+        self.kf_vel = {k: (Rgw_np @ v if v is not None else None)
+                       for k, v in self.kf_vel.items()}
+        self.imu_initialized = True
+        # Re-linearize the keyframe preintegrations at the new bias.
+        from tpuslam.imu import preintegration as pre
+        self.cur_preint = pre.init_state(jnp.asarray(self.bg),
+                                         jnp.asarray(self.ba))
+
     def _track(self, feats: FrameFeatures) -> FrameResult:
         tcfg = self.cfg.tracking
-        # Motion-model prediction.
-        R_pred = jnp.asarray(self.vel_R @ self.last_R)
-        t_pred = jnp.asarray(self.vel_R @ self.last_t + self.vel_t)
+        if (self.cfg.sensor == "imu_mono" and self.imu_initialized
+                and self.frame_preint is not None):
+            R_pred, t_pred, vel_pred = self._imu_predict()
+            self._vel_pred = vel_pred
+        else:
+            # Constant-velocity motion model.
+            R_pred = jnp.asarray(self.vel_R @ self.last_R)
+            t_pred = jnp.asarray(self.vel_R @ self.last_t + self.vel_t)
+            self._vel_pred = None
 
         kf_ids, _, mp_ids, _ = self._window()
         safe = jnp.clip(mp_ids, 0, self.ms.mp_capacity - 1)
@@ -595,6 +732,15 @@ class MonoTracker:
         # Velocity (camera-from-camera relative motion).
         self.vel_R = R_np @ self.last_R.T
         self.vel_t = t_np - self.vel_R @ self.last_t
+        if self.cfg.sensor == "imu_mono":
+            # World-velocity estimate from the OPTIMIZED poses (finite
+            # difference): the IMU-propagated velocity is never corrected
+            # by vision and its error integrates (bias/gravity residuals)
+            # until guided search misses — the classic VIO failure.
+            c_prev = -self.last_R.T @ self.last_t
+            c_now = -R_np.T @ t_np
+            self.vel = ((c_now - c_prev) * self.cfg.camera.fps
+                        ).astype(np.float32)
         self.last_R, self.last_t = R_np, t_np
         self.frames_since_kf += 1
 
@@ -624,6 +770,21 @@ class MonoTracker:
         self.kf_slots.append(slot)
         self.frames_since_kf = 0
         self.ref_tracked = max(n_inl, 1)
+
+        if self.cfg.sensor == "imu_mono" and self.cur_preint is not None:
+            from tpuslam.imu import preintegration as pre
+
+            # Record the preintegration linking the previous keyframe to
+            # this one (mpImuPreintegratedFromLastKF handoff,
+            # src/Tracking.cc:3330) and reset the accumulator.
+            if len(self.kf_slots) >= 2:
+                self.kf_preint[slot] = self.cur_preint
+            self.kf_vel[slot] = (self.vel.copy()
+                                 if self.vel is not None else None)
+            self.cur_preint = pre.init_state(jnp.asarray(self.bg),
+                                             jnp.asarray(self.ba))
+            if not self.imu_initialized:
+                self._try_imu_init()
 
         # Triangulate vs up to 2 previous keyframes.
         with self.timer.stage("triangulation"):
