@@ -7,14 +7,15 @@ blur+descriptors at :1136-1150). TPU formulation chosen by measurement:
 
 - A dense 31x31 moment convolution costs ~160 ms/frame on v5e (XLA's
   large-spatial-kernel conv path); per-sample random gathers for BRIEF
-  cost ~0.4 us each. Both are replaced by ONE contiguous patch gather
-  per keypoint (vmapped dynamic_slice, (N,33,33)) followed by matmuls:
+  cost ~0.4 us each; per-keypoint dynamic_slice patch DMAs serialize.
+  Everything is instead formulated as MXU matmuls on one (N,33,33)
+  patch tensor extracted by one-hot row/col selection matmuls:
   * orientation: two masked-moment dot products over the patch,
-  * BRIEF: rotation quantized to 32 bins (the original ORB paper uses
-    12-degree steps); per-bin sampling = a precomputed one-hot
-    (1089 x 512) selection matrix, so sampling all bins for all
-    keypoints is a single (N,1089)x(32,1089,512) einsum on the MXU and
-    the keypoint's bin is picked with a tiny take_along_axis.
+  * BRIEF: rotation quantized to N_ANGLE_BINS with linear interpolation
+    between adjacent bins (angle-continuous sampling); per-bin sampling
+    = precomputed +-1 difference-selection matrices, evaluated for all
+    bins in one (N,1089)x(B,1089,256) einsum, keypoint bins picked with
+    take_along_axis.
 
 Bits are compared on f32 accumulations, then packed to 8 x uint32.
 """
@@ -31,26 +32,52 @@ PATCH_RADIUS = 15   # HALF_PATCH_SIZE in the reference
 PATCH = 33          # gathered patch edge (covers +-13 pattern + rotation)
 HALF = PATCH // 2
 N_BITS = 256
-# 5.6-degree angle quantization: at 32 bins (the original ORB uses 12
-# degrees) cross-view angle jitter near bin boundaries moves pattern
-# points ~2.5 px and measurably hurts match purity; 64 bins halves that
-# for ~0.4 ms of extra (MXU) work.
-N_ANGLE_BINS = 64
+# 32 angle bins (11.25 deg, close to the original ORB's 12 deg): the
+# linear interpolation between adjacent bins in descriptors_from_patches
+# makes sampling effectively continuous in angle, so finer bins only
+# cost MXU work (measured: purity holds at 32+interp; it degraded at
+# 32 with hard nearest-bin lookup).
+N_ANGLE_BINS = 32
 
 
 def extract_patches(img, xy, patch: int = PATCH):
     """Gather (N, patch, patch) windows centered at integer keypoint
     positions (clamped at borders; the extractor's edge margin keeps
-    real keypoints interior)."""
-    starts_y = jnp.clip(xy[:, 1].astype(jnp.int32) - patch // 2, 0,
-                        img.shape[0] - patch)
-    starts_x = jnp.clip(xy[:, 0].astype(jnp.int32) - patch // 2, 0,
-                        img.shape[1] - patch)
+    real keypoints interior).
 
-    def one(sy, sx):
-        return jax.lax.dynamic_slice(img, (sy, sx), (patch, patch))
+    Implemented as TWO one-hot selection matmuls (row-select then
+    col-select) instead of N vmapped dynamic_slices: per-keypoint DMAs
+    serialize on TPU (~5 ms/frame across the pyramid), while the
+    selection matmuls ride the MXU (<1 ms). One-hot entries are exact in
+    bf16 and each output is a single selected value, so an hi/lo split
+    of the image keeps patches f32-exact at bf16 matmul speed."""
+    h, w = img.shape
+    n = xy.shape[0]
+    starts_y = jnp.clip(xy[:, 1].astype(jnp.int32) - patch // 2, 0, h - patch)
+    starts_x = jnp.clip(xy[:, 0].astype(jnp.int32) - patch // 2, 0, w - patch)
+    rows = starts_y[:, None] + jnp.arange(patch)[None, :]       # (N,P)
+    cols = starts_x[:, None] + jnp.arange(patch)[None, :]       # (N,P)
+    row_sel = (rows[:, :, None] ==
+               jnp.arange(h)[None, None, :]).astype(jnp.bfloat16)
+    col_sel = (cols[:, None, :] ==
+               jnp.arange(w)[None, :, None]).astype(jnp.bfloat16)  # (N,W,P)
 
-    return jax.vmap(one)(starts_y, starts_x)
+    hi = img.astype(jnp.bfloat16)
+    lo = (img - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # Row selection: (N*P, H) @ (H, W) — exact per hi/lo component.
+    def rsel(component):
+        return jnp.einsum("nph,hw->npw", row_sel, component,
+                          preferred_element_type=jnp.float32)
+
+    tmp = rsel(hi) + rsel(lo)                                    # (N,P,W) f32
+    thi = tmp.astype(jnp.bfloat16)
+    tlo = (tmp - thi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def csel(component):
+        return jnp.einsum("npw,nwq->npq", component, col_sel,
+                          preferred_element_type=jnp.float32)
+
+    return csel(thi) + csel(tlo)                                 # (N,P,P)
 
 
 @functools.lru_cache(maxsize=4)

@@ -242,3 +242,34 @@ def cull_points(ms: MapState, min_ratio, min_visible):
         (ms.mp_visible < min_visible) | (ratio >= min_ratio)
     )
     return ms._replace(mp_valid=keep)
+
+
+@jax.jit
+def keyframe_redundancy(ms: MapState, slot):
+    """Fraction of `slot`'s observed points that are seen by >=3 OTHER
+    keyframes (KeyFrameCulling redundancy measure,
+    /root/reference/src/LocalMapping.cc:1158, threshold 0.9 at :1168)."""
+    obs_all = ms.kf_obs_mp
+    counts = jnp.zeros((ms.mp_capacity,), jnp.int32).at[
+        jnp.where((obs_all >= 0) & ms.kf_valid[:, None],
+                  obs_all, ms.mp_capacity)
+    ].add(1, mode="drop")
+    mine = ms.kf_obs_mp[slot]
+    mine_valid = (mine >= 0) & ms.mp_valid[
+        jnp.clip(mine, 0, ms.mp_capacity - 1)]
+    c = counts[jnp.clip(mine, 0, ms.mp_capacity - 1)]
+    redundant = mine_valid & (c >= 4)  # >=3 others + itself
+    n = jnp.maximum(jnp.sum(mine_valid), 1)
+    return jnp.sum(redundant) / n.astype(jnp.float32)
+
+
+@jax.jit
+def cull_keyframe(ms: MapState, slot):
+    """Remove a redundant keyframe: invalidate it and clear its
+    observations (the pose array keeps its last value for trajectory
+    export, like the reference's bad-flagged keyframes)."""
+    return ms._replace(
+        kf_valid=ms.kf_valid.at[slot].set(False),
+        kf_obs_mp=ms.kf_obs_mp.at[slot].set(
+            jnp.full((ms.kf_obs_mp.shape[1],), -1, jnp.int32)),
+    )

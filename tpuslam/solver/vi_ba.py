@@ -320,6 +320,9 @@ class InertialInitResult(NamedTuple):
     bg: jax.Array      # (3,)
     ba: jax.Array      # (3,)
     cost: jax.Array    # () final cost
+    g_lin_norm: jax.Array  # () |g| of the UNCONSTRAINED linear alignment:
+                           # ~9.81 only when the solution regime is right
+                           # (VINS-Mono's init health check)
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
@@ -436,6 +439,7 @@ def inertial_init(
     return InertialInitResult(
         vel=vel, Rwg=Rwg, scale=scale, bg=bg, ba=ba,
         cost=jnp.sum(residuals(th) ** 2),
+        g_lin_norm=jnp.linalg.norm(g_lin),
     )
 
 

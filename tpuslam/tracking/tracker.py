@@ -271,7 +271,7 @@ def _fuse_into_kf(
     feats = FrameFeatures(
         uv=ms.kf_uv[slot], level=ms.kf_level[slot], angle=ms.kf_uv[slot][:, 0],
         response=ms.kf_uv[slot][:, 0], desc=ms.kf_desc[slot],
-        valid=ms.kf_kp_valid[slot] & (ms.kf_obs_mp[slot] < 0),
+        valid=ms.kf_kp_valid[slot],
     )
     res = matching.search_by_projection(
         uv, ms.mp_level[safe], visible, ms.mp_desc[safe], feats, scale_lut,
@@ -285,11 +285,35 @@ def _fuse_into_kf(
     # Loose gate for the same reason as the tracker's association pass:
     # BA refines what it can observe.
     good = (res.idx >= 0) & (chi2 <= 4.0 * pose_opt.CHI2_MONO)
-    tgt = jnp.where(good, kp, feats.capacity)
-    new_obs = ms.kf_obs_mp[slot].at[tgt].set(
-        jnp.where(good, mp_ids, -1), mode="drop"
+
+    existing = ms.kf_obs_mp[slot][kp]                     # (P,)
+    link = good & (existing < 0)
+    # Duplicate MERGE (MapPoint::Replace via ORBmatcher::Fuse,
+    # src/ORBmatcher.cc:1425): a projected point matching a keypoint
+    # that already carries a DIFFERENT map point means the two ids are
+    # the same physical landmark. Keep the older (smaller, more-BA'd)
+    # id everywhere and invalidate the newer — without this, duplicates
+    # accumulate ~linearly with trajectory length and slowly poison
+    # matching.
+    conflict = good & (existing >= 0) & (existing != mp_ids)
+    keep = jnp.minimum(existing, mp_ids)
+    drop = jnp.maximum(existing, mp_ids)
+    cap = ms.mp_capacity
+    replace = jnp.arange(cap, dtype=jnp.int32).at[
+        jnp.where(conflict, drop, cap)
+    ].set(jnp.where(conflict, keep, -1).astype(jnp.int32), mode="drop")
+    obs_all = ms.kf_obs_mp
+    obs_all = jnp.where(
+        obs_all >= 0, replace[jnp.clip(obs_all, 0, cap - 1)], obs_all)
+    mp_valid = ms.mp_valid.at[jnp.where(conflict, drop, cap)].set(
+        False, mode="drop")
+
+    tgt = jnp.where(link, kp, feats.capacity)
+    new_obs = obs_all[slot].at[tgt].set(
+        jnp.where(link, mp_ids, -1), mode="drop"
     )
-    return ms._replace(kf_obs_mp=ms.kf_obs_mp.at[slot].set(new_obs))
+    return ms._replace(kf_obs_mp=obs_all.at[slot].set(new_obs),
+                       mp_valid=mp_valid)
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
@@ -649,7 +673,9 @@ class MonoTracker:
         chain = [self.kf_slots[1]] + [
             s for s in self.kf_slots[2:] if s in self.kf_preint]
         slots = chain[-8:]
-        if len(slots) < 6:
+        # Map maturity gate (>=10 KFs, LocalMapping.cc:1443): the young
+        # map's scale drift produces confidently-wrong early estimates.
+        if len(slots) < 6 or self.n_kf < 10:
             return
         Rwb = jnp.asarray(np.stack(
             [np.asarray(self.ms.kf_R[s]).T for s in slots]))
@@ -664,15 +690,24 @@ class MonoTracker:
             gravity_mag=self.cfg.imu.gravity,
         )
         s = float(res.scale)
-        # Scale sanity (LocalMapping.cc:1558) + STABILITY gate: early
-        # attempts are biased by the young map's scale drift (whitened
-        # cost cannot discriminate — visual pose noise dominates it), so
-        # commit only once two consecutive keyframes' estimates agree.
+        # Acceptance gates:
+        # 1. scale sanity (LocalMapping.cc:1558);
+        # 2. PHYSICAL health check: the closed-form linear alignment
+        #    solves gravity as a FREE vector — its norm is ~9.81 only
+        #    when the window's scale regime is consistent (VINS-Mono's
+        #    standard check; whitened MAP cost cannot discriminate and
+        #    consecutive estimates can be consistently wrong on a
+        #    drifting young map);
+        # 3. stability: consecutive keyframes' estimates agree.
+        prev = getattr(self, "_init_scale_prev", None)
+        # prev updates on EVERY attempt (even rejected ones) so the
+        # agreement check is between genuinely consecutive estimates.
+        self._init_scale_prev = s
         if not (0.1 < s < 50.0) or not np.isfinite(s):
             return
-        prev = getattr(self, "_init_scale_prev", None)
-        self._init_scale_prev = s
-        if prev is None or abs(s - prev) > 0.15 * max(s, prev):
+        if abs(float(res.g_lin_norm) - self.cfg.imu.gravity) > 0.5:
+            return
+        if prev is None or abs(s - prev) > 0.4 * max(s, prev):
             return
         # ApplyScaledRotation (Map.h:122): x' = s Rwg^T x so gravity
         # aligns with -z and the map becomes metric.
@@ -693,10 +728,93 @@ class MonoTracker:
         self.kf_vel = {k: (Rgw_np @ v if v is not None else None)
                        for k, v in self.kf_vel.items()}
         self.imu_initialized = True
-        # Re-linearize the keyframe preintegrations at the new bias.
+        # Joint visual-inertial refinement of the init window — the
+        # FullInertialBA(its=100) the reference runs right after
+        # InitializeIMU (src/LocalMapping.cc:1593): the inertial-only
+        # estimate leaves large bias/scale residue that only the joint
+        # problem can resolve.
+        # NOTE: disabled pending weight tuning — with near-noiseless
+        # simulated IMU the whitened inertial terms dominate the joint
+        # cost 10:1 and pull poses off the visual map's self-consistency,
+        # which breaks guided tracking. Round 2: balance via proper
+        # visual whitening or staged vis_weight.
+        # self._viba_window(slots, jnp.asarray(Rgw), s, res)
+        # Re-linearize the keyframe preintegration accumulator.
         from tpuslam.imu import preintegration as pre
         self.cur_preint = pre.init_state(jnp.asarray(self.bg),
                                          jnp.asarray(self.ba))
+
+    VIBA_K = 8  # static window size of the post-init VI refinement
+
+    def _viba_window(self, slots, Rgw, s_init, init_res):
+        """Visual-inertial BA over the init chain (VIBA1 analog).
+
+        Runs on the ALREADY-transformed (metric, gravity-aligned) map;
+        refines window poses, velocities, shared-ish biases and points
+        jointly, then writes everything back."""
+        from tpuslam.solver import vi_ba
+
+        K = self.VIBA_K
+        slots = slots[-K:]
+        n = len(slots)
+        kf_ids = np.full((K,), -1, np.int32)
+        kf_ids[:n] = slots
+        kf_ids_j = jnp.asarray(kf_ids)
+        mp_ids, local = mapstate.local_point_ids(
+            self.ms, kf_ids_j, cap=self.cfg.map.ba_point_cap)
+        prob = mapstate.build_ba_problem(
+            self.ms, kf_ids_j, jnp.zeros((K,), bool), mp_ids, local,
+            self.inv_sigma2_lut)
+
+        # Body states from the transformed map (body == camera).
+        Rwb = jnp.swapaxes(prob.kf_R, -1, -2)
+        pwb = -jnp.einsum("kij,kj->ki", Rwb, prob.kf_t)
+        # Velocities from the init result, rotated into the new (metric,
+        # gravity-aligned) world: v' = Rgw v. Pad rows replicate the last.
+        vel_new = np.asarray(init_res.vel) @ np.asarray(Rgw).T
+        vel = np.zeros((K, 3), np.float32)
+        vel[:n] = vel_new[-n:]
+        fixed = np.ones((K,), bool)
+        fixed[1:n] = False  # first row anchors the gauge
+
+        preints = [self.kf_preint[s] for s in slots[1:]]
+        pad_edges = K - 1 - len(preints)
+        if pad_edges:
+            preints = preints + [preints[-1]] * pad_edges
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *preints)
+        edge_valid = np.zeros((K - 1,), bool)
+        edge_valid[: n - 1] = True
+
+        win = vi_ba.VIWindow(
+            Rwb=Rwb, pwb=pwb, vel=jnp.asarray(vel),
+            bg=jnp.tile(jnp.asarray(self.bg), (K, 1)),
+            ba=jnp.tile(jnp.asarray(self.ba), (K, 1)),
+            fixed=jnp.asarray(fixed),
+            points=prob.points, pt_valid=prob.pt_valid,
+            obs_uv=prob.obs_uv, obs_mask=prob.obs_mask,
+            obs_inv_sigma2=prob.obs_inv_sigma2,
+            preint=stacked, edge_valid=jnp.asarray(edge_valid),
+            Rcb=jnp.eye(3, dtype=jnp.float32),
+            tcb=jnp.zeros(3, jnp.float32),
+        )
+        walk_info = jnp.full((6,), 1.0 / 1e-3, jnp.float32)
+        res = vi_ba.optimize_vi(
+            win, self.cam_params,
+            jnp.asarray([0.0, 0.0, -self.cfg.imu.gravity], jnp.float32),
+            walk_info, iters=10)
+
+        # Write back: poses (Tcw from body), points, bias/velocity.
+        R_cw = jnp.swapaxes(res.Rwb, -1, -2)
+        t_cw = -jnp.einsum("kij,kj->ki", R_cw, res.pwb)
+        keep = jnp.any(res.inlier, axis=0) | ~jnp.any(prob.obs_mask, axis=0)
+        self.ms = mapstate.scatter_ba_result(
+            self.ms, kf_ids_j, mp_ids, R_cw, t_cw, res.points, keep)
+        self.bg = np.asarray(res.bg[n - 1])
+        self.ba = np.asarray(res.ba[n - 1])
+        self.vel = np.asarray(res.vel[n - 1])
+        self.last_R = np.asarray(self.ms.kf_R[slots[-1]])
+        self.last_t = np.asarray(self.ms.kf_t[slots[-1]])
 
     def _track(self, feats: FrameFeatures) -> FrameResult:
         tcfg = self.cfg.tracking
@@ -748,6 +866,30 @@ class MonoTracker:
         if is_kf:
             self._create_keyframe(feats, R, t, assoc, n_inl)
         return FrameResult("OK", R_np, t_np, n_inl, is_keyframe=is_kf)
+
+    GBA_WINDOW = 64  # static shape of the global-BA problem
+
+    def run_global_ba(self, iters: int = 12):
+        """GlobalBundleAdjustemnt analog (Optimizer.cc:54): one dense BA
+        over (up to) the last GBA_WINDOW keyframes — truly global for
+        maps below that size; the sharded variant in parallel/dist_ba
+        scales beyond. Called after loop correction like the reference's
+        RunGlobalBundleAdjustment thread (LoopClosing.cc:1440)."""
+        W = self.GBA_WINDOW
+        slots = [s for s in self.kf_slots if bool(self.ms.kf_valid[s])][-W:]
+        n = len(slots)
+        if n < 3:
+            return
+        kf_ids = np.full((W,), -1, np.int32)
+        kf_ids[:n] = slots
+        fixed = np.ones((W,), bool)
+        fixed[2:n] = False  # first two anchor the gauge
+        kf_ids_j = jnp.asarray(kf_ids)
+        mp_ids, local = mapstate.local_point_ids(
+            self.ms, kf_ids_j, cap=self.cfg.map.ba_point_cap)
+        self.ms, _ = _run_local_ba(
+            self.ms, kf_ids_j, jnp.asarray(fixed), mp_ids, local,
+            self.inv_sigma2_lut, self.cam_params, iters=iters)
 
     def _need_keyframe(self, n_inl: int) -> bool:
         """NeedNewKeyFrame rules c1a/c2 (src/Tracking.cc:3227-3240)."""
@@ -821,6 +963,15 @@ class MonoTracker:
         with self.timer.stage("culling"):
             self.ms = mapstate.cull_points(
                 self.ms, self.cfg.map.cull_found_ratio, min_visible=8)
+            # Keyframe culling (LocalMapping::KeyFrameCulling, th 0.9):
+            # check the 3rd-newest keyframe once the window is warm.
+            # Skipped in inertial mode for now — culling must merge the
+            # temporal preintegration chain (LocalMapping.cc:1282).
+            if (self.cfg.sensor == "mono" and len(self.kf_slots) > 6):
+                cand = self.kf_slots[-3]
+                if float(mapstate.keyframe_redundancy(self.ms, cand)) > 0.9:
+                    self.ms = mapstate.cull_keyframe(self.ms, cand)
+                    self.kf_slots.remove(cand)
 
         # Loop closing (LoopClosing::Run per-keyframe logic).
         if self.enable_loop_closing:
@@ -837,6 +988,9 @@ class MonoTracker:
                         self.ms = loop_closing.correct_loop(
                             self.loop, self.ms, slot, cand, self.n_kf,
                             s_cl, R_cl, t_cl)
+                        # Post-loop global refinement
+                        # (RunGlobalBundleAdjustment analog).
+                        self.run_global_ba()
                         self.last_R = np.asarray(self.ms.kf_R[slot])
                         self.last_t = np.asarray(self.ms.kf_t[slot])
                         self.vel_R = np.eye(3, dtype=np.float32)
