@@ -61,7 +61,8 @@ def _reconstruct(b1, b2, valid, key, focal: float):
     return two_view.reconstruct(b1, b2, valid, key, focal=focal)
 
 
-@functools.partial(jax.jit, static_argnames=("model", "radius1", "radius2"))
+@functools.partial(jax.jit, static_argnames=(
+    "model", "radius1", "radius2", "sched"))
 def _track_pose(
     R0, t0,
     mp_ids,          # (P,) int32 local map point ids (-1 pad)
@@ -77,6 +78,7 @@ def _track_pose(
     model: str = "pinhole",
     radius1: float = 15.0,
     radius2: float = 4.0,
+    sched: tuple = ((2, 3), (2, 4)),
 ):
     """Two guided-match + pose-GN rounds against the local map.
 
@@ -125,8 +127,9 @@ def _track_pose(
     # GN on a 6-dof pose converges in ~3 iterations from a motion-model
     # prediction; the chi2 re-gating rounds are what matter. Validated
     # on the synthetic e2e ATE gate.
-    opt1, _, _ = rnd(R0, t0, radius1, matching.TH_HIGH, 2, 5)
-    opt2, _, visible = rnd(opt1.R, opt1.t, radius2, matching.TH_LOW + 25, 3, 5)
+    opt1, _, _ = rnd(R0, t0, radius1, matching.TH_HIGH, *sched[0])
+    opt2, _, visible = rnd(opt1.R, opt1.t, radius2, matching.TH_LOW + 25,
+                           *sched[1])
 
     # Final associate-only pass at the refined pose: tight window, chi2
     # acceptance — maximizes the observation set recorded for keyframe
@@ -831,13 +834,17 @@ class MonoTracker:
         kf_ids, _, mp_ids, _ = self._window()
         safe = jnp.clip(mp_ids, 0, self.ms.mp_capacity - 1)
         mp_ok = (mp_ids >= 0) & self.ms.mp_valid[safe]
+        # Inertial mode keeps the longer GN schedule: pose accuracy
+        # feeds the preintegration chain and the init's scale estimate.
+        sched = (((2, 5), (3, 5)) if self.cfg.sensor == "imu_mono"
+                 else ((2, 3), (2, 4)))
         with self.timer.stage("local_map_track"):
             R, t, assoc, n_inl, visible_ids, found_ids = _track_pose(
                 R_pred, t_pred,
                 mp_ids, self.ms.mp_pos[safe], self.ms.mp_desc[safe],
                 self.ms.mp_level[safe], mp_ok,
                 feats, self.cam_params, self.scale_lut, self.inv_sigma2_lut,
-                self.img_wh,
+                self.img_wh, sched=sched,
             )
             n_inl = int(n_inl)
         self.ms = mapstate.update_point_stats(self.ms, visible_ids, found_ids)
