@@ -935,7 +935,9 @@ class MonoTracker:
             if not self.imu_initialized:
                 self._try_imu_init()
 
-        # Triangulate vs up to 2 previous keyframes.
+        # Triangulate vs up to 2 previous keyframes. (Adding a third,
+        # older partner was measured WORSE on the 120-frame fixture:
+        # the older pose's drift leaks into the new points.)
         with self.timer.stage("triangulation"):
             _, _, near_ids, _ = self._window()
             near_safe = jnp.clip(near_ids, 0, self.ms.mp_capacity - 1)
