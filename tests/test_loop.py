@@ -261,9 +261,10 @@ def test_loop_detect_verify_correct(drifted_map):
         loop_closing.on_new_keyframe(ls, ms, k)
 
     # Detection: feed the last keyframes (which revisit the start).
+    kf_slots = list(range(K))
     cand = None
     for k in range(K - 4, K):
-        cand = loop_closing.detect_loop(ls, ms, k, K) or cand
+        cand = loop_closing.detect_loop(ls, ms, k, kf_slots) or cand
     assert cand is not None and cand <= 6, f"candidate {cand}"
 
     cur = K - 1
@@ -276,7 +277,7 @@ def test_loop_detect_verify_correct(drifted_map):
 
     err_before = float(jnp.linalg.norm(
         ms.kf_t[cur] - jnp.asarray(poses[cur][1])))
-    ms2 = loop_closing.correct_loop(ls, ms, cur, cand, K, s, R, t)
+    ms2 = loop_closing.correct_loop(ls, ms, cur, cand, kf_slots, s, R, t)
     err_after = float(jnp.linalg.norm(
         ms2.kf_t[cur] - jnp.asarray(poses[cur][1])))
     assert err_after < 0.5 * err_before, (err_before, err_after)

@@ -230,3 +230,34 @@ def test_local_ba_ignores_masked_obs(rng):
     for k in range(K):
         np.testing.assert_allclose(res.kf_t[k], poses[k][1], atol=1e-3)
     assert np.all(np.isfinite(np.asarray(res.points)))
+
+
+def test_ransac_pnp_recovers_pose(rng):
+    """Batched EPnP RANSAC recovers a pose far from any hint, with 30%
+    outliers (the MLPnP role in relocalization, Tracking.cc:3811)."""
+    import jax
+
+    from tpuslam.geometry import lie
+    from tpuslam.solver import pnp
+
+    from tpuslam.datasets import synthetic
+
+    N = 200
+    Xw = rng.uniform([-4, -4, -2], [4, 4, 2], size=(N, 3)).astype(np.float32)
+    R, t = synthetic.look_at(np.array([6.0, -5.0, 1.0]),
+                             np.zeros(3))
+    Xc = Xw @ R.T + t
+    bear = (Xc / Xc[:, 2:3]).astype(np.float32)
+    valid = Xc[:, 2] > 0.2
+    # 30% outliers: corrupt bearings.
+    out = rng.choice(N, 60, replace=False)
+    bear[out, :2] += rng.uniform(0.05, 0.3, (60, 2)).astype(np.float32)
+
+    res = pnp.ransac_pnp(jnp.asarray(Xw), jnp.asarray(bear),
+                         jnp.asarray(valid), jax.random.PRNGKey(0),
+                         inlier_th=0.01)
+    assert bool(res.ok)
+    np.testing.assert_allclose(np.asarray(res.R), R, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(res.t), t, atol=0.15)
+    inl = np.asarray(res.inlier)
+    assert inl[out].sum() <= 3

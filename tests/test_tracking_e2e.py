@@ -44,9 +44,9 @@ def test_ate_within_bound(run_result):
     tracker, states, gt = run_result
     est = tracker.positions()
     res = ate.ate(gt[2:], est[2:])
-    # Trajectory arc length ~16 m; gate at ~3% (typical good mono visual
-    # odometry without loop closure). Reference-quality target is <1%.
-    assert res.rmse_scaled < 0.5, f"ATE {res.rmse_scaled:.3f} m"
+    # Trajectory arc length ~16 m; gate at 1.5% (measured 0.176 m with
+    # covisibility windows + map-point hygiene; reference-quality <1%).
+    assert res.rmse_scaled < 0.24, f"ATE {res.rmse_scaled:.3f} m"
 
 
 def test_trajectory_has_motion(run_result):

@@ -125,6 +125,30 @@ def orbit_trajectory(n_frames: int, radius: float = 9.0, height: float = 1.5,
     return poses
 
 
+def ring_trajectory(n_frames: int, radius: float = 5.0, height: float = 0.5,
+                    arc: float = 2.0 * np.pi, look_out: float = 3.0,
+                    wobble: float = 0.1, seed: int = 1):
+    """Camera on a ring looking OUTWARD (radially away from center): each
+    view covers only a sector of the world, so place recognition is
+    meaningful and a closed circuit produces a genuine loop-closure
+    situation (unlike the inward orbit, where every frame sees the same
+    central landmark field). Pair with a wide world extent (e.g. 36 m).
+    """
+    rng = np.random.default_rng(seed)
+    phase = rng.uniform(0, 2 * np.pi)
+    poses = []
+    for i in range(n_frames):
+        a = arc * i / max(n_frames - 1, 1)
+        eye = np.array([
+            radius * np.cos(a),
+            radius * np.sin(a),
+            height + wobble * np.sin(3 * a + phase),
+        ])
+        target = eye * np.array([look_out, look_out, 1.0])
+        poses.append(look_at(eye, target))
+    return poses
+
+
 def project(world: SyntheticWorld, R_cw, t_cw):
     """Project landmarks: returns uv (P,2), depth (P,), in_view (P,) bool."""
     Xc = world.points @ R_cw.T + t_cw

@@ -51,6 +51,12 @@ class MapState(NamedTuple):
     mp_level: jax.Array     # (M,) reference octave for scale prediction
     mp_visible: jax.Array   # (M,) int32
     mp_found: jax.Array     # (M,) int32
+    # Viewing geometry (MapPoint::UpdateNormalAndDepth,
+    # /root/reference/src/MapPoint.cc:467): mean camera->point direction
+    # and the scale-invariance distance range for PredictScale (:570).
+    mp_normal: jax.Array    # (M,3) unit world-frame viewing direction
+    mp_dist_min: jax.Array  # (M,)
+    mp_dist_max: jax.Array  # (M,) <=0 means "not yet computed"
 
     @property
     def kf_capacity(self) -> int:
@@ -78,6 +84,9 @@ def empty(max_kf: int, max_mp: int, n_feat: int, dtype=jnp.float32) -> MapState:
         mp_level=jnp.zeros((max_mp,), jnp.int32),
         mp_visible=jnp.zeros((max_mp,), jnp.int32),
         mp_found=jnp.zeros((max_mp,), jnp.int32),
+        mp_normal=jnp.zeros((max_mp, 3), dtype),
+        mp_dist_min=jnp.zeros((max_mp,), dtype),
+        mp_dist_max=jnp.zeros((max_mp,), dtype),
     )
 
 
@@ -109,15 +118,34 @@ def add_points(
     ok,                 # (P,) bool acceptance mask
     kf_i, kp_i,         # source keyframe slot + (P,) keypoint indices
     kf_j, kp_j,         # second keyframe slot + (P,) keypoint indices
+    scale_lut=None,     # (L,) pyramid scale factors (for dist range)
 ):
     """Append accepted points; register observations in both keyframes.
-    Returns (new_state, n_added). Drops silently at capacity."""
+    Returns (new_state, n_added). Drops silently at capacity.
+
+    With `scale_lut`, seeds the viewing normal and scale-invariance
+    distance range from the first observing keyframe (the role of
+    UpdateNormalAndDepth right after creation,
+    /root/reference/src/LocalMapping.cc:594)."""
     P = pos.shape[0]
     order = jnp.cumsum(ok.astype(jnp.int32)) - 1
     cap = ms.mp_capacity
     slot = jnp.where(ok, next_free + order, cap)  # cap -> dropped
     ids = jnp.where(ok, slot, -1).astype(jnp.int32)
     in_cap = ok & (slot < cap)
+
+    if scale_lut is None:
+        normal = jnp.zeros_like(pos)
+        dmin = jnp.zeros((P,), pos.dtype)
+        dmax = jnp.zeros((P,), pos.dtype)
+    else:
+        Ci = -jnp.einsum("ji,j->i", ms.kf_R[kf_i], ms.kf_t[kf_i])
+        d = pos - Ci[None, :]
+        dist = jnp.linalg.norm(d, axis=-1)
+        normal = d / jnp.maximum(dist, 1e-9)[:, None]
+        sf = jnp.take(scale_lut, jnp.clip(level, 0, scale_lut.shape[0] - 1))
+        dmax = dist * sf
+        dmin = dmax / scale_lut[-1]
 
     ms = ms._replace(
         mp_pos=ms.mp_pos.at[slot].set(pos, mode="drop"),
@@ -126,6 +154,9 @@ def add_points(
         mp_level=ms.mp_level.at[slot].set(level, mode="drop"),
         mp_visible=ms.mp_visible.at[slot].set(1, mode="drop"),
         mp_found=ms.mp_found.at[slot].set(1, mode="drop"),
+        mp_normal=ms.mp_normal.at[slot].set(normal, mode="drop"),
+        mp_dist_min=ms.mp_dist_min.at[slot].set(dmin, mode="drop"),
+        mp_dist_max=ms.mp_dist_max.at[slot].set(dmax, mode="drop"),
         kf_obs_mp=ms.kf_obs_mp.at[kf_i, jnp.where(in_cap, kp_i, ms.kf_obs_mp.shape[1])]
         .set(ids, mode="drop")
         .at[kf_j, jnp.where(in_cap, kp_j, ms.kf_obs_mp.shape[1])]
@@ -261,6 +292,165 @@ def keyframe_redundancy(ms: MapState, slot):
     redundant = mine_valid & (c >= 4)  # >=3 others + itself
     n = jnp.maximum(jnp.sum(mine_valid), 1)
     return jnp.sum(redundant) / n.astype(jnp.float32)
+
+
+@jax.jit
+def covisibility_weights(ms: MapState, slot):
+    """(K,) number of valid map points keyframe k shares with keyframe
+    `slot` — the covisibility-graph edge weight
+    (KeyFrame::UpdateConnections, /root/reference/src/KeyFrame.cc:407;
+    edges kept at weight >= 15, :449). Computed fresh from `kf_obs_mp`
+    (one gather over the pool) instead of maintaining adjacency lists."""
+    mine = ms.kf_obs_mp[slot]
+    cap = ms.mp_capacity
+    mine_ok = (mine >= 0) & ms.mp_valid[jnp.clip(mine, 0, cap - 1)]
+    member = jnp.zeros((cap,), bool).at[
+        jnp.where(mine_ok, mine, cap)].set(True, mode="drop")
+    obs = ms.kf_obs_mp                                  # (K,N)
+    hit = member[jnp.clip(obs, 0, cap - 1)] & (obs >= 0)
+    w = jnp.sum(hit, axis=1).astype(jnp.int32)
+    w = jnp.where(ms.kf_valid, w, 0)
+    return w.at[slot].set(0)
+
+
+@jax.jit
+def covisibility_matrix(ms: MapState):
+    """(K,K) full covisibility weight matrix via one MXU matmul over the
+    boolean membership matrix. Used by loop correction to build the
+    essential graph (OptimizeEssentialGraph's covisibility edges,
+    /root/reference/src/Optimizer.cc:2570, minFeat=100)."""
+    K, N = ms.kf_obs_mp.shape
+    cap = ms.mp_capacity
+    obs = ms.kf_obs_mp
+    ok = (obs >= 0) & ms.mp_valid[jnp.clip(obs, 0, cap - 1)] \
+        & ms.kf_valid[:, None]
+    rows = jnp.broadcast_to(jnp.arange(K)[:, None], obs.shape)
+    B = jnp.zeros((K, cap), jnp.float32).at[
+        rows, jnp.where(ok, obs, cap)].set(1.0, mode="drop")
+    W = (B @ B.T).astype(jnp.int32)
+    return W - jnp.diag(jnp.diag(W))
+
+
+@jax.jit
+def refresh_point_hygiene(ms: MapState, kf_ids, mp_ids, local_of_global,
+                          scale_lut):
+    """Recompute distinctive descriptors, viewing normals, and
+    scale-invariance distance ranges for the window's map points.
+
+    One pass replaces three reference per-point loops:
+    - ComputeDistinctiveDescriptors (/root/reference/src/MapPoint.cc:350):
+      the observation descriptor with minimum median Hamming distance to
+      the others;
+    - UpdateNormalAndDepth (:467): normal = mean camera->point direction;
+    - distance range from the newest observation's level (:490-496).
+    """
+    W = kf_ids.shape[0]
+    P = mp_ids.shape[0]
+    K, N = ms.kf_obs_mp.shape
+    cap = ms.mp_capacity
+    kf_safe = jnp.clip(kf_ids, 0, K - 1)
+    row_ok = kf_ids >= 0
+
+    # (W,P) keypoint index grid: which keypoint of window-KF w observes
+    # local point p (-1 = none).
+    obs = ms.kf_obs_mp[kf_safe]                               # (W,N)
+    lidx = local_of_global[jnp.clip(obs, 0, cap - 1)]
+    lidx = jnp.where((obs >= 0) & row_ok[:, None], lidx, -1)
+    rows = jnp.broadcast_to(jnp.arange(W)[:, None], lidx.shape)
+    kp_grid = jnp.full((W, P), -1, jnp.int32).at[
+        rows, jnp.where(lidx >= 0, lidx, P)
+    ].set(jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), lidx.shape),
+          mode="drop")
+    have = kp_grid >= 0                                        # (W,P)
+    kp_safe = jnp.clip(kp_grid, 0, N - 1)
+
+    desc = jnp.take_along_axis(
+        ms.kf_desc[kf_safe], kp_safe[:, :, None], axis=1)      # (W,P,8)
+    level = jnp.take_along_axis(ms.kf_level[kf_safe], kp_safe, axis=1)
+
+    # Pairwise Hamming between a point's observation descriptors:
+    # bit-matmul per point (W is small, P large -> batched einsum).
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = ((desc[..., None] >> shifts) & jnp.uint32(1)).reshape(
+        W, P, 256).astype(jnp.bfloat16)
+    na = jnp.sum(bits, axis=-1, dtype=jnp.float32)             # (W,P)
+    ab = jnp.einsum("ipc,jpc->pij", bits, bits,
+                    preferred_element_type=jnp.float32)        # (P,W,W)
+    dist = na.T[:, :, None] + na.T[:, None, :] - 2.0 * ab      # (P,W,W)
+    pair_ok = have.T[:, :, None] & have.T[:, None, :]
+    dist = jnp.where(pair_ok, dist, jnp.inf)
+    # Median distance of observation i to the others = element
+    # (n_valid-1)//2 of its ascending row (invalid sort to +inf).
+    srt = jnp.sort(dist, axis=-1)
+    nv = jnp.sum(have.T, axis=-1)                              # (P,)
+    med_idx = jnp.maximum(nv - 1, 0) // 2
+    med = jnp.take_along_axis(
+        srt, jnp.broadcast_to(med_idx[:, None, None], (P, W, 1)), axis=-1
+    )[..., 0]                                                  # (P,W)
+    med = jnp.where(have.T, med, jnp.inf)
+    best_w = jnp.argmin(med, axis=-1)                          # (P,)
+    new_desc = jnp.take_along_axis(
+        desc.transpose(1, 0, 2), best_w[:, None, None], axis=1)[:, 0]
+    new_level = jnp.take_along_axis(level.T, best_w[:, None], axis=1)[:, 0]
+
+    # Viewing normal: mean direction from observing camera centers.
+    C = -jnp.einsum("wji,wj->wi", ms.kf_R[kf_safe], ms.kf_t[kf_safe])
+    pos = ms.mp_pos[jnp.clip(mp_ids, 0, cap - 1)]              # (P,3)
+    d = pos[None, :, :] - C[:, None, :]                        # (W,P,3)
+    dn = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    normal = jnp.sum(jnp.where(have[:, :, None], dn, 0.0), axis=0)
+    normal = normal / jnp.maximum(
+        jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
+
+    # Distance range from the distinctive observation's camera + level.
+    dist_ref = jnp.linalg.norm(
+        pos - C[best_w], axis=-1)                              # (P,)
+    sf = jnp.take(scale_lut, jnp.clip(new_level, 0, scale_lut.shape[0] - 1))
+    dmax = dist_ref * sf
+    dmin = dmax / scale_lut[-1]
+
+    upd = (mp_ids >= 0) & (nv >= 2) & ms.mp_valid[
+        jnp.clip(mp_ids, 0, cap - 1)]
+    tgt = jnp.where(upd, mp_ids, cap)
+    return ms._replace(
+        mp_desc=ms.mp_desc.at[tgt].set(new_desc, mode="drop"),
+        mp_level=ms.mp_level.at[tgt].set(new_level, mode="drop"),
+        mp_normal=ms.mp_normal.at[tgt].set(normal, mode="drop"),
+        mp_dist_min=ms.mp_dist_min.at[tgt].set(dmin, mode="drop"),
+        mp_dist_max=ms.mp_dist_max.at[tgt].set(dmax, mode="drop"),
+    )
+
+
+@jax.jit
+def compact_points(ms: MapState):
+    """Move valid map points to the front of the pool and remap all
+    keyframe observations — the slot-recycling/compaction step that keeps
+    long runs inside the fixed capacity (the reference deletes MapPoint
+    objects instead; here culled slots become reusable tail space).
+    Returns (new_state, n_valid, remap (M,) old->new or -1)."""
+    cap = ms.mp_capacity
+    (perm,) = jnp.nonzero(ms.mp_valid, size=cap, fill_value=cap)
+    keep = perm < cap
+    src = jnp.clip(perm, 0, cap - 1)
+    remap = jnp.full((cap,), -1, jnp.int32).at[
+        jnp.where(keep, perm, cap)
+    ].set(jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    obs = ms.kf_obs_mp
+    new_obs = jnp.where(obs >= 0, remap[jnp.clip(obs, 0, cap - 1)], -1)
+    z = jnp.zeros((), ms.mp_pos.dtype)
+    ms = ms._replace(
+        mp_pos=jnp.where(keep[:, None], ms.mp_pos[src], z),
+        mp_valid=keep,
+        mp_desc=jnp.where(keep[:, None], ms.mp_desc[src], jnp.uint32(0)),
+        mp_level=jnp.where(keep, ms.mp_level[src], 0),
+        mp_visible=jnp.where(keep, ms.mp_visible[src], 0),
+        mp_found=jnp.where(keep, ms.mp_found[src], 0),
+        mp_normal=jnp.where(keep[:, None], ms.mp_normal[src], z),
+        mp_dist_min=jnp.where(keep, ms.mp_dist_min[src], z),
+        mp_dist_max=jnp.where(keep, ms.mp_dist_max[src], z),
+        kf_obs_mp=new_obs,
+    )
+    return ms, jnp.sum(keep).astype(jnp.int32), remap
 
 
 @jax.jit

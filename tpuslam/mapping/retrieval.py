@@ -48,6 +48,14 @@ def mark_keyframe(db: RetrievalDB, slot) -> RetrievalDB:
     return RetrievalDB(kf_valid=db.kf_valid.at[slot].set(True))
 
 
+@jax.jit
+def unmark_keyframe(db: RetrievalDB, slot) -> RetrievalDB:
+    """Remove a culled keyframe from the index (KeyFrameDatabase::erase,
+    /root/reference/src/KeyFrameDatabase.cc:56) — its stale descriptors
+    must not keep winning retrieval scores."""
+    return RetrievalDB(kf_valid=db.kf_valid.at[slot].set(False))
+
+
 @functools.partial(jax.jit, static_argnames=("chunk", "match_th"))
 def score_keyframes(
     kf_desc,      # (Kmax, N, 8) uint32 — the map's keyframe descriptors

@@ -22,6 +22,13 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=120)
     p.add_argument("--points", type=int, default=500)
     p.add_argument("--features", type=int, default=1024)
+    p.add_argument("--arc", type=float, default=0.8,
+                   help="orbit arc in units of pi (2.0 = closed circuit)")
+    p.add_argument("--traj", choices=("orbit", "ring"), default="orbit",
+                   help="orbit = inward-looking; ring = outward-looking "
+                        "(sector views -> real loop-closure geometry)")
+    p.add_argument("--log", type=str, default=None,
+                   help="write per-frame diagnostics CSV here")
     p.add_argument("--cpu", action="store_true",
                    help="force CPU backend (tests/dev)")
     p.add_argument("--quiet", action="store_true")
@@ -41,8 +48,13 @@ def main(argv=None):
     from tpuslam.tracking.tracker import MonoTracker
 
     h, w = 480, 640
-    world = synthetic.make_world(n_points=args.points, h=h, w=w, seed=0)
-    poses = synthetic.orbit_trajectory(args.frames)
+    if args.traj == "ring":
+        world = synthetic.make_world(n_points=args.points, h=h, w=w, seed=0,
+                                     extent=(36.0, 36.0, 10.0))
+        poses = synthetic.ring_trajectory(args.frames, arc=args.arc * np.pi)
+    else:
+        world = synthetic.make_world(n_points=args.points, h=h, w=w, seed=0)
+        poses = synthetic.orbit_trajectory(args.frames, arc=args.arc * np.pi)
 
     cfg = SLAMConfig(
         camera=CameraConfig(width=w, height=h, fx=float(world.cam[0]),
@@ -55,18 +67,35 @@ def main(argv=None):
     t_render = 0.0
     t_track = 0.0
     n_ok = 0
+    log_rows = []
     for i, (R, t) in enumerate(poses):
         t0 = time.perf_counter()
         img = synthetic.render(world, R, t)
         t_render += time.perf_counter() - t0
         t0 = time.perf_counter()
         out = tracker.process(img)
-        t_track += time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        t_track += dt
         n_ok += out.state == "OK"
+        if args.log:
+            c_gt = -R.T @ t
+            c_est = -out.R.T @ out.t
+            log_rows.append(
+                f"{i},{out.state},{out.n_inliers},{tracker.stats.get('kf', 0)},"
+                f"{tracker.stats.get('mp', 0)},{int(out.is_keyframe)},"
+                f"{tracker.n_loops_closed},{1e3 * dt:.1f},"
+                f"{c_gt[0]:.4f},{c_gt[1]:.4f},{c_gt[2]:.4f},"
+                f"{c_est[0]:.4f},{c_est[1]:.4f},{c_est[2]:.4f}")
         if not args.quiet and (i % 20 == 0 or out.is_keyframe):
             print(f"[{i:4d}] {out.state:16s} inliers={out.n_inliers:4d} "
-                  f"kf={tracker.stats['kf']:3d} mp={tracker.stats['mp']:5d}"
+                  f"kf={tracker.stats['kf']:3d} mp={tracker.stats['mp']:5d} "
+                  f"loops={tracker.n_loops_closed}"
                   f"{' KF' if out.is_keyframe else ''}", flush=True)
+    if args.log:
+        with open(args.log, "w") as f:
+            f.write("frame,state,inliers,kf,mp,is_kf,loops,ms,"
+                    "gx,gy,gz,ex,ey,ez\n")
+            f.write("\n".join(log_rows) + "\n")
 
     est = tracker.positions()
     gt = np.stack([-R.T @ t for R, t in poses])

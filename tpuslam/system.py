@@ -55,15 +55,6 @@ class System:
             raise RuntimeError("system is shut down")
         ts = time.time() if timestamp is None else float(timestamp)
         self.timestamps.append(ts)
-        if self.localization_only:
-            # ActivateLocalizationMode (System.cc:383-434): track against
-            # the frozen map, never spawn keyframes.
-            prev = self.tracker._need_keyframe
-            self.tracker._need_keyframe = lambda n: False
-            try:
-                return self.tracker.process(img)
-            finally:
-                self.tracker._need_keyframe = prev
         return self.tracker.process(img)
 
     def track_monocular_inertial(self, img: np.ndarray, imu,
@@ -80,10 +71,15 @@ class System:
     # -- modes / lifecycle ---------------------------------------------------
 
     def activate_localization_mode(self):
+        """ActivateLocalizationMode (System.cc:383-434): track against the
+        frozen map — no keyframes, no point-stat updates, no culling, no
+        loss-triggered map archival."""
         self.localization_only = True
+        self.tracker.frozen = True
 
     def deactivate_localization_mode(self):
         self.localization_only = False
+        self.tracker.frozen = False
 
     def reset(self):
         """Reset the active map (System::Reset -> Tracking::Reset)."""
@@ -144,38 +140,84 @@ class System:
     # -- checkpoint / resume (SaveAtlas/LoadAtlas, first-class here) ---------
 
     def save_atlas(self, path):
-        """Serialize the full map state + session counters to .npz."""
-        ms = self.tracker.ms
-        arrays = {f"ms_{k}": np.asarray(v) for k, v in ms._asdict().items()}
+        """Serialize the full map state + session counters to .npz.
+
+        Inertial sessions additionally round-trip biases, velocities,
+        the IMU-init flag, and the slot-keyed keyframe preintegration
+        chain (PreintState leaves stacked into arrays) — the reference's
+        boost-serialized IMU members (include/ImuTypes.h:61-72)."""
+        tr = self.tracker
+        arrays = {f"ms_{k}": np.asarray(v) for k, v in tr.ms._asdict().items()}
+        inertial = {}
+        if self.cfg.sensor == "imu_mono":
+            inertial = {
+                "imu_bg": np.asarray(tr.bg),
+                "imu_ba": np.asarray(tr.ba),
+                "imu_vel": np.asarray(tr.vel),
+                "imu_initialized": np.asarray(tr.imu_initialized),
+            }
+            pre_slots = sorted(tr.kf_preint)
+            if pre_slots:
+                stacked = [np.stack([np.asarray(getattr(tr.kf_preint[s], f))
+                                     for s in pre_slots])
+                           for f in tr.kf_preint[pre_slots[0]]._fields]
+                inertial["preint_slots"] = np.asarray(pre_slots, np.int32)
+                inertial.update({f"preint_{f}": a for f, a in zip(
+                    tr.kf_preint[pre_slots[0]]._fields, stacked)})
+            vel_slots = sorted(s for s, v in tr.kf_vel.items()
+                               if v is not None)
+            if vel_slots:
+                inertial["kfvel_slots"] = np.asarray(vel_slots, np.int32)
+                inertial["kfvel"] = np.stack(
+                    [np.asarray(tr.kf_vel[s]) for s in vel_slots])
         np.savez_compressed(
             Path(path),
             **arrays,
-            n_kf=self.tracker.n_kf,
-            n_mp=self.tracker.n_mp,
-            kf_slots=np.asarray(self.tracker.kf_slots, np.int32),
-            last_R=self.tracker.last_R,
-            last_t=self.tracker.last_t,
-            state=self.tracker.state,
+            **inertial,
+            n_kf=tr.n_kf,
+            n_mp=tr.n_mp,
+            kf_slots=np.asarray(tr.kf_slots, np.int32),
+            last_R=tr.last_R,
+            last_t=tr.last_t,
+            state=tr.state,
         )
 
     def load_atlas(self, path):
         """Restore map state; the session continues in localization-ready
         LOST state (relocalization re-acquires the pose, like the
         reference after LoadAtlas)."""
+        from tpuslam.imu import preintegration as pre
+
         data = np.load(Path(path), allow_pickle=False)
+        tr = self.tracker
         fields = {k[3:]: jnp.asarray(data[k]) for k in data.files
                   if k.startswith("ms_")}
-        self.tracker.ms = mapstate.MapState(**fields)
-        self.tracker.n_kf = int(data["n_kf"])
-        self.tracker.n_mp = int(data["n_mp"])
-        self.tracker.kf_slots = [int(x) for x in data["kf_slots"]]
-        self.tracker.last_R = data["last_R"]
-        self.tracker.last_t = data["last_t"]
-        self.tracker.state = "LOST"  # relocalize to re-acquire
+        tr.ms = mapstate.MapState(**fields)
+        tr.n_kf = int(data["n_kf"])
+        tr.n_mp = int(data["n_mp"])
+        tr.kf_slots = [int(x) for x in data["kf_slots"]]
+        tr.last_R = data["last_R"]
+        tr.last_t = data["last_t"]
+        if self.cfg.sensor == "imu_mono" and "imu_bg" in data.files:
+            tr.bg = data["imu_bg"]
+            tr.ba = data["imu_ba"]
+            tr.vel = data["imu_vel"]
+            tr.imu_initialized = bool(data["imu_initialized"])
+            tr.kf_preint = {}
+            if "preint_slots" in data.files:
+                for i, s in enumerate(data["preint_slots"]):
+                    tr.kf_preint[int(s)] = pre.PreintState(*[
+                        jnp.asarray(data[f"preint_{f}"][i])
+                        for f in pre.PreintState._fields])
+            tr.kf_vel = {}
+            if "kfvel_slots" in data.files:
+                for i, s in enumerate(data["kfvel_slots"]):
+                    tr.kf_vel[int(s)] = data["kfvel"][i]
+            tr.cur_preint = pre.init_state(jnp.asarray(tr.bg),
+                                           jnp.asarray(tr.ba))
+        tr.state = "LOST"  # relocalize to re-acquire
         # Rebuild the retrieval index over restored keyframes.
         from tpuslam.tracking import loop_closing
-        self.tracker.loop = loop_closing.LoopState.create(
-            self.cfg.map.max_keyframes)
-        for slot in self.tracker.kf_slots:
-            loop_closing.on_new_keyframe(self.tracker.loop,
-                                         self.tracker.ms, slot)
+        tr.loop = loop_closing.LoopState.create(self.cfg.map.max_keyframes)
+        for slot in tr.kf_slots:
+            loop_closing.on_new_keyframe(tr.loop, tr.ms, slot)

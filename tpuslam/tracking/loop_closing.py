@@ -13,8 +13,11 @@ matching + robust pose optimization seeded from the candidate keyframe).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Optional
+
+_DEBUG = bool(os.environ.get("TPUSLAM_LOOP_DEBUG"))
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +37,11 @@ class LoopState:
     min_margin: float = 1.15     # vs median score of non-neighbors
     last_candidate: int = -1
     consistency: int = 0
-    last_loop_kf: int = -999     # cooldown after a correction
+    last_loop_order: int = -999  # temporal index of last correction (cooldown)
+    # Accumulated loop constraints (slot_i, slot_j, s, R, t): every past
+    # correction's verified Sim3 stays an edge in later pose graphs
+    # (the reference's KeyFrame::AddLoopEdge, used at Optimizer.cc:2414).
+    loop_edges: list = field(default_factory=list)
 
     @staticmethod
     def create(max_kf: int) -> "LoopState":
@@ -54,28 +61,43 @@ def on_new_keyframe(ls: LoopState, ms: mapstate.MapState, slot: int):
 
 
 def detect_loop(ls: LoopState, ms: mapstate.MapState, slot: int,
-                n_kf: int) -> Optional[int]:
-    """Returns a geometrically-unverified candidate slot or None."""
-    if n_kf < ls.min_gap + 3 or slot - ls.last_loop_kf < ls.min_gap:
+                kf_slots: list) -> Optional[int]:
+    """Returns a geometrically-unverified candidate slot or None.
+
+    `kf_slots` is the live keyframe list in temporal order — slot ids are
+    recycled, so recency is measured by list position, not slot value."""
+    order_of = {s: i for i, s in enumerate(kf_slots)}
+    cur_order = order_of.get(slot, len(kf_slots) - 1)
+    if (len(kf_slots) < ls.min_gap + 3
+            or cur_order - ls.last_loop_order < ls.min_gap):
         return None
     scores = np.array(retrieval.score_keyframes(
         ms.kf_desc, ms.kf_kp_valid, ls.db.kf_valid,
         ms.kf_desc[slot], _strong(ms, slot), match_th=25))
     # Exclude the temporally-adjacent window (the reference excludes
     # covisible keyframes, KeyFrameDatabase.cc:620).
-    lo = max(slot - ls.min_gap, 0)
-    scores[lo: slot + 1] = -1.0
+    for s in kf_slots[max(cur_order - ls.min_gap, 0): cur_order + 1]:
+        scores[s] = -1.0
+    scores[slot] = -1.0
     cand = int(np.argmax(scores))
     others = scores[(scores >= 0)]
     baseline = float(np.median(others)) if others.size > 3 else 0.0
+    if _DEBUG:
+        print(f"[loop] kf={slot} order={cur_order} cand={cand} "
+              f"score={scores[cand]:.3f} med={baseline:.3f} "
+              f"need={max(ls.min_score, ls.min_margin * baseline):.3f} "
+              f"consist={ls.consistency}", flush=True)
     # Absolute + relative gates (the reference compares against the
     # worst covisible-neighbor score, LoopClosing.cc minScore).
     if scores[cand] < max(ls.min_score, ls.min_margin * baseline):
         ls.consistency = 0
         ls.last_candidate = -1
         return None
-    # Temporal consistency: same region hit on consecutive keyframes.
-    if ls.last_candidate >= 0 and abs(cand - ls.last_candidate) <= 3:
+    # Temporal consistency: same region hit on consecutive keyframes
+    # (region = close in temporal order, not slot arithmetic).
+    if (ls.last_candidate >= 0 and ls.last_candidate in order_of
+            and cand in order_of
+            and abs(order_of[cand] - order_of[ls.last_candidate]) <= 3):
         ls.consistency += 1
     else:
         ls.consistency = 1
@@ -143,68 +165,98 @@ def correct_loop(
     ms: mapstate.MapState,
     cur: int,
     cand: int,
-    n_kf: int,
+    kf_slots: list,          # live keyframes, temporal order
     s_cl, R_cl, t_cl,        # x_cand_cam = S(x_cur_cam)
+    fix_scale: bool = False,
 ):
-    """Pose-graph correction (CorrectLoop + OptimizeEssentialGraph).
+    """Pose-graph correction (CorrectLoop /root/reference/src/LoopClosing.cc:1210
+    + OptimizeEssentialGraph, Optimizer.cc:2385).
 
-    States S_iw initialized from current poses (scale 1), sequential
-    odometry edges + the verified loop edge (cand <- cur); candidate
-    side fixed; map points re-mapped through their observing keyframe's
-    correction."""
+    The essential graph: temporal-chain odometry edges over the live
+    keyframe list (the spanning tree of a sequential trajectory),
+    covisibility edges with weight >= minFeat=100 (Optimizer.cc:2570),
+    every previously-accepted loop edge (KeyFrame::AddLoopEdge at
+    :2414), and the newly verified loop edge. Only the candidate KF is
+    pinned — earlier keyframes stay free, held by their odometry and
+    covisibility edges (this is what lets a second loop move them).
+    Map points are re-mapped through their observing keyframe's
+    correction. `fix_scale=True` is the inertial/stereo variant."""
     K = ms.kf_capacity
     dtype = jnp.float32
-    kf_slots = jnp.arange(n_kf)
+    n_live = len(kf_slots)
 
     s0 = jnp.ones((K,), dtype)
     R0 = ms.kf_R
     t0 = ms.kf_t
     valid = ms.kf_valid
 
-    # Sequential odometry edges between consecutive keyframes (the
-    # spanning tree of a linear trajectory) + neighbor edges at +-2.
+    # --- edge set (host-assembled; corrections are rare events).
+    slots = np.asarray(kf_slots, np.int32)
     ei, ej, ew = [], [], []
     for d, w in ((1, 1.0), (2, 0.5)):
-        ei.append(np.arange(0, n_kf - d))
-        ej.append(np.arange(d, n_kf))
-        ew.append(np.full(n_kf - d, w, np.float32))
-    ei = np.concatenate(ei)
-    ej = np.concatenate(ej)
-    ew = np.concatenate(ew)
-    # Loop edge with high weight: (i=cand, j=cur), measurement = S_cl.
-    ei = np.append(ei, cand).astype(np.int32)
-    ej = np.append(ej, cur).astype(np.int32)
-    ew = np.append(ew, 5.0).astype(np.float32)
+        if n_live > d:
+            ei.append(slots[:-d])
+            ej.append(slots[d:])
+            ew.append(np.full(n_live - d, w, np.float32))
+    # Covisibility edges (strong co-observation; dedup i<j, skip pairs
+    # already adjacent in the temporal chain).
+    W_cov = np.asarray(mapstate.covisibility_matrix(ms))
+    order_of = {s: i for i, s in enumerate(kf_slots)}
+    ci, cj = np.nonzero(np.triu(W_cov, 1) >= 100)
+    keep = np.array([
+        a in order_of and b in order_of
+        and abs(order_of[a] - order_of[b]) > 2
+        for a, b in zip(ci.tolist(), cj.tolist())
+    ], bool) if ci.size else np.zeros(0, bool)
+    if ci.size:
+        ei.append(ci[keep].astype(np.int32))
+        ej.append(cj[keep].astype(np.int32))
+        ew.append(np.full(int(keep.sum()), 1.0, np.float32))
+    ei = np.concatenate(ei) if ei else np.zeros(0, np.int32)
+    ej = np.concatenate(ej) if ej else np.zeros(0, np.int32)
+    ew = np.concatenate(ew) if ew else np.zeros(0, np.float32)
+    n_odo = len(ei)
 
+    # Historical + new loop edges carry explicit Sim3 measurements.
+    loop_list = [e for e in ls.loop_edges
+                 if e[0] in order_of and e[1] in order_of]
+    loop_list.append((cand, cur, np.asarray(s_cl), np.asarray(R_cl),
+                      np.asarray(t_cl)))
+    ei = np.concatenate([ei, np.asarray([e[0] for e in loop_list],
+                                        np.int32)])
+    ej = np.concatenate([ej, np.asarray([e[1] for e in loop_list],
+                                        np.int32)])
+    ew = np.concatenate([ew, np.full(len(loop_list), 5.0, np.float32)])
+
+    # Pad the edge arrays to a bucket so recompiles stay rare (E is a
+    # static shape under jit).
     E = len(ei)
-    eim = jnp.asarray(ei)
-    ejm = jnp.asarray(ej)
+    E_pad = ((E + 255) // 256) * 256
+    pad = E_pad - E
+    eim = jnp.asarray(np.concatenate([ei, np.zeros(pad, np.int32)]))
+    ejm = jnp.asarray(np.concatenate([ej, np.zeros(pad, np.int32)]))
+    ewm = jnp.asarray(np.concatenate([ew, np.zeros(pad, np.float32)]))
+    edge_valid = (jnp.arange(E_pad) < E) & valid[eim] & valid[ejm]
+
     # Measurements: S_ij = S_iw o S_jw^-1 from CURRENT (drifted) states
-    # for odometry edges; the loop edge uses the verified Sim3.
-    Ri = R0[eim]
-    ti = t0[eim]
-    Rj = R0[ejm]
-    tj = t0[ejm]
-    sij, Rij, tij = jax.vmap(
-        lambda Ra, ta, Rb, tb: (
-            jnp.ones((), dtype) / 1.0,
-            Ra @ Rb.T,
-            ta - jnp.einsum("ij,j->i", Ra @ Rb.T, tb),
-        )
-    )(Ri, ti, Rj, tj)
-    sij = sij.at[E - 1].set(s_cl)
-    Rij = Rij.at[E - 1].set(R_cl)
-    tij = tij.at[E - 1].set(t_cl)
+    # for odometry/covisibility edges; loop edges use their verified Sim3.
+    Ri, ti = R0[eim], t0[eim]
+    Rj, tj = R0[ejm], t0[ejm]
+    sij = jnp.ones((E_pad,), dtype)
+    Rij = jnp.einsum("eij,ekj->eik", Ri, Rj)
+    tij = ti - jnp.einsum("eij,ej->ei", Rij, tj)
+    for k, (a, b, s_m, R_m, t_m) in enumerate(loop_list):
+        idx = n_odo + k
+        sij = sij.at[idx].set(jnp.asarray(s_m, dtype))
+        Rij = Rij.at[idx].set(jnp.asarray(R_m, dtype))
+        tij = tij.at[idx].set(jnp.asarray(t_m, dtype))
 
     fixed = jnp.zeros((K,), bool).at[cand].set(True)
-    # Also pin everything up to the candidate (that part of the map is
-    # the reference frame, as the reference keeps the loop side fixed).
-    fixed = fixed.at[jnp.arange(K)].set(jnp.arange(K) <= cand)
 
     res = pose_graph.optimize_pose_graph(
         s0, R0, t0, valid, fixed,
         eim, ejm, sij, Rij, tij,
-        jnp.ones((E,), bool), jnp.asarray(ew),
+        edge_valid, ewm, fix_scale=fix_scale,
     )
 
     # Corrected camera poses: Tcw = [R, t/s].
@@ -213,10 +265,11 @@ def correct_loop(
 
     # Re-map points through an observing keyframe's correction:
     # x' = S_kw_new^-1 ( S_kw_old (x) ).
+    slots_j = jnp.asarray(slots)
     owner = jnp.full((ms.mp_capacity,), -1, jnp.int32)
-    obs = ms.kf_obs_mp[kf_slots]  # (n_kf, N)
+    obs = ms.kf_obs_mp[slots_j]  # (n_live, N)
     flat = obs.reshape(-1)
-    kf_of = jnp.repeat(kf_slots, obs.shape[1])
+    kf_of = jnp.repeat(slots_j, obs.shape[1])
     owner = owner.at[jnp.where(flat >= 0, flat, ms.mp_capacity)].set(
         kf_of.astype(jnp.int32), mode="drop")
     has_owner = owner >= 0
@@ -227,27 +280,48 @@ def correct_loop(
     s_new = jnp.maximum(res.s[ow], 1e-9)
     x_new = jnp.einsum("mji,mj->mi", res.R[ow],
                        x_cam - res.t[ow]) / s_new[:, None]
-    mp_pos = jnp.where(has_owner[:, None] & ms.mp_valid[:, None],
-                       x_new, ms.mp_pos)
+    moved = has_owner & ms.mp_valid
+    mp_pos = jnp.where(moved[:, None], x_new, ms.mp_pos)
+    # Viewing normals ride the same rotation; distance ranges the same
+    # scale (the owner's correction is a similarity: world -> world).
+    n_cam = jnp.einsum("mij,mj->mi", R0[ow], ms.mp_normal)
+    n_new = jnp.einsum("mji,mj->mi", res.R[ow], n_cam)
+    mp_normal = jnp.where(moved[:, None], n_new, ms.mp_normal)
+    mp_dmin = jnp.where(moved, ms.mp_dist_min / s_new, ms.mp_dist_min)
+    mp_dmax = jnp.where(moved, ms.mp_dist_max / s_new, ms.mp_dist_max)
 
-    ms = ms._replace(kf_R=new_R, kf_t=new_t, mp_pos=mp_pos)
-    ls.last_loop_kf = cur
+    ms = ms._replace(kf_R=new_R, kf_t=new_t, mp_pos=mp_pos,
+                     mp_normal=mp_normal, mp_dist_min=mp_dmin,
+                     mp_dist_max=mp_dmax)
+    ls.last_loop_order = order_of.get(cur, n_live - 1)
+    ls.loop_edges.append((cand, cur, np.asarray(s_cl), np.asarray(R_cl),
+                          np.asarray(t_cl)))
     ls.consistency = 0
     ls.last_candidate = -1
     return ms
 
 
 def relocalize(ls: LoopState, ms: mapstate.MapState, feats, cam_params,
-               inv_sigma2_lut, top_k: int = 3, min_inliers: int = 20):
-    """Tracking::Relocalization analog: retrieval -> 2D-3D matches ->
-    robust pose optimization seeded from each candidate keyframe pose.
-    Returns (ok, R, t, n_inliers)."""
+               inv_sigma2_lut, top_k: int = 3, min_inliers: int = 20,
+               key=None):
+    """Tracking::Relocalization analog (src/Tracking.cc:3764): retrieval
+    -> 2D-3D matches -> batched EPnP RANSAC (the MLPnP role, :3811) ->
+    GN polish (PoseOptimization, :3844). The minimal-solver RANSAC means
+    recovery works even when the query pose is far from every stored
+    keyframe pose. Returns (ok, R, t, n_inliers)."""
+    from tpuslam.geometry import cameras
+    from tpuslam.solver import pnp
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
     scores = np.asarray(retrieval.score_keyframes(
         ms.kf_desc, ms.kf_kp_valid, ls.db.kf_valid,
         feats.desc, feats.valid))
     order = np.argsort(-scores)[:top_k]
     inv_sigma2_kp = inv_sigma2_lut[jnp.clip(feats.level, 0,
                                             inv_sigma2_lut.shape[0] - 1)]
+    bear_all = cameras.unproject(feats.uv, cam_params)
+    focal = float(cam_params[0])
     for cand in order:
         if scores[cand] < 0.05:
             break
@@ -263,8 +337,15 @@ def relocalize(ls: LoopState, ms: mapstate.MapState, feats, cam_params,
         if int(jnp.sum(valid)) < 10:
             continue
         kp = jnp.clip(res.idx, 0, feats.capacity - 1)
+        key, sub = jax.random.split(key)
+        hyp = pnp.ransac_pnp(
+            ms.mp_pos[mp_s], bear_all[kp], valid, sub,
+            inlier_th=8.0 / focal, min_inliers=10,
+        )
+        if not bool(hyp.ok):
+            continue
         opt = pose_opt.optimize_pose(
-            ms.kf_R[cand], ms.kf_t[cand],
+            hyp.R, hyp.t,
             ms.mp_pos[mp_s], feats.uv[kp], inv_sigma2_kp[kp],
             valid, cam_params,
         )

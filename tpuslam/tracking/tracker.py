@@ -39,13 +39,26 @@ from tpuslam.config import SLAMConfig
 from tpuslam.frontend import extractor, matching
 from tpuslam.frontend.extractor import FrameFeatures
 from tpuslam.geometry import lie, triangulation, two_view
-from tpuslam.mapping import mapstate
+from tpuslam.mapping import mapstate, retrieval
 from tpuslam.solver import local_ba, pose_opt
 from tpuslam.tracking import loop_closing
 
 # ---------------------------------------------------------------------------
 # Jitted device programs
 # ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _undistort_uv(uv, cam_params, dist):
+    """Undistort keypoint pixels once per frame (Frame::UndistortKeyPoints,
+    /root/reference/src/Frame.cc:277 via cv::undistortPoints): everything
+    downstream then treats the camera as an ideal pinhole."""
+    from tpuslam.geometry import cameras
+
+    f = cam_params[0:2]
+    c = cam_params[2:4]
+    xy = (uv - c) / f
+    return cameras.radtan_undistort(xy, dist) * f + c
 
 
 @jax.jit
@@ -70,6 +83,9 @@ def _track_pose(
     mp_desc,         # (P,8)
     mp_level,        # (P,)
     mp_ok,           # (P,)
+    mp_normal,       # (P,3) viewing normals (zero = unknown)
+    mp_dmin,         # (P,) scale-invariance distance range
+    mp_dmax,         # (P,) (<=0 = unknown)
     feats: FrameFeatures,
     cam_params,
     scale_lut,       # (L,) scale factor per level
@@ -90,22 +106,43 @@ def _track_pose(
 
     inv_sigma2_kp = inv_sigma2_lut[jnp.clip(feats.level, 0,
                                             inv_sigma2_lut.shape[0] - 1)]
+    has_geom = mp_dmax > 0
+    log_sf = jnp.log(scale_lut[1]) if scale_lut.shape[0] > 1 else 1.0
 
-    def rnd(R, t, radius, max_dist, rounds, iters):
+    def visibility(R, t):
+        """Frustum + viewing-angle + distance-range checks and scale
+        prediction (Frame::isInFrustum, /root/reference/src/Frame.cc:572:
+        cos(view angle) > 0.5, dist in [0.8 min, 1.2 max];
+        MapPoint::PredictScale, src/MapPoint.cc:570)."""
         Xc = jnp.einsum("ij,pj->pi", R, mp_pos) + t
         uv = cameras.project(Xc, cam_params, model)
-        in_front = Xc[:, 2] > 0.05
-        in_img = (
+        dist = jnp.linalg.norm(Xc, axis=-1)
+        ok = (Xc[:, 2] > 0.05) & (
             (uv[:, 0] >= 0) & (uv[:, 0] < img_wh[0])
             & (uv[:, 1] >= 0) & (uv[:, 1] < img_wh[1])
         )
-        visible = mp_ok & in_front & in_img
+        viewcos = jnp.sum(mp_normal * (Xc @ R), axis=-1) / jnp.maximum(
+            dist, 1e-9)
+        ok = ok & jnp.where(has_geom, viewcos > 0.5, True)
+        ok = ok & jnp.where(
+            has_geom,
+            (dist >= 0.8 * mp_dmin) & (dist <= 1.2 * mp_dmax), True)
+        lvl = jnp.ceil(
+            jnp.log(jnp.maximum(mp_dmax, 1e-9) / jnp.maximum(dist, 1e-9))
+            / log_sf).astype(jnp.int32)
+        lvl = jnp.where(has_geom,
+                        jnp.clip(lvl, 0, scale_lut.shape[0] - 1), mp_level)
+        return Xc, uv, ok, lvl
+
+    def rnd(R, t, radius, max_dist, rounds, iters):
+        Xc, uv, frustum_ok, lvl = visibility(R, t)
+        visible = mp_ok & frustum_ok
         # No Lowe ratio here: the frame-tracking SearchByProjection
         # variants (src/ORBmatcher.cc:44,2027) gate on distance + chi2
         # only — a ratio test would reject matches whenever the map holds
         # near-duplicate points.
         res = matching.search_by_projection(
-            uv, mp_level, visible, mp_desc, feats, scale_lut,
+            uv, lvl, visible, mp_desc, feats, scale_lut,
             radius=radius, max_dist=max_dist, ratio=1.0,
         )
         matched = res.idx >= 0
@@ -135,10 +172,9 @@ def _track_pose(
     # acceptance — maximizes the observation set recorded for keyframe
     # creation (the role of the final SearchLocalPoints + pose refine in
     # TrackLocalMap, src/Tracking.cc:2997-3016).
-    Xc = jnp.einsum("ij,pj->pi", opt2.R, mp_pos) + opt2.t
-    uv = cameras.project(Xc, cam_params, model)
+    Xc, uv, frustum_ok, lvl = visibility(opt2.R, opt2.t)
     res2 = matching.search_by_projection(
-        uv, mp_level, visible & (Xc[:, 2] > 0.05), mp_desc, feats,
+        uv, lvl, mp_ok & frustum_ok, mp_desc, feats,
         scale_lut, radius=2.0 * radius2, max_dist=matching.TH_LOW + 25,
         ratio=1.0,
     )
@@ -231,6 +267,7 @@ def _triangulate_between(
         X, ms.kf_desc[slot_i], ms.kf_level[slot_i], ok,
         slot_i, jnp.arange(bi.shape[0], dtype=jnp.int32),
         slot_j, kp_j.astype(jnp.int32),
+        scale_lut=jnp.sqrt(sigma2_lut),
     )
     return ms, n_new
 
@@ -271,13 +308,30 @@ def _fuse_into_kf(
         & (uv[:, 0] >= 0) & (uv[:, 0] < img_wh[0])
         & (uv[:, 1] >= 0) & (uv[:, 1] < img_wh[1])
     )
+    # Viewing-geometry gates + scale prediction (Fuse's isInFrustum-style
+    # checks, src/ORBmatcher.cc:1445-1495).
+    dmax = ms.mp_dist_max[safe]
+    has_geom = dmax > 0
+    dist = jnp.linalg.norm(Xc, axis=-1)
+    viewcos = jnp.sum(ms.mp_normal[safe] * (Xc @ R), axis=-1) \
+        / jnp.maximum(dist, 1e-9)
+    visible = visible & jnp.where(has_geom, viewcos > 0.5, True)
+    visible = visible & jnp.where(
+        has_geom,
+        (dist >= 0.8 * ms.mp_dist_min[safe]) & (dist <= 1.2 * dmax), True)
+    log_sf = jnp.log(scale_lut[1]) if scale_lut.shape[0] > 1 else 1.0
+    lvl = jnp.ceil(jnp.log(jnp.maximum(dmax, 1e-9)
+                           / jnp.maximum(dist, 1e-9)) / log_sf
+                   ).astype(jnp.int32)
+    lvl = jnp.where(has_geom, jnp.clip(lvl, 0, scale_lut.shape[0] - 1),
+                    ms.mp_level[safe])
     feats = FrameFeatures(
         uv=ms.kf_uv[slot], level=ms.kf_level[slot], angle=ms.kf_uv[slot][:, 0],
         response=ms.kf_uv[slot][:, 0], desc=ms.kf_desc[slot],
         valid=ms.kf_kp_valid[slot],
     )
     res = matching.search_by_projection(
-        uv, ms.mp_level[safe], visible, ms.mp_desc[safe], feats, scale_lut,
+        uv, lvl, visible, ms.mp_desc[safe], feats, scale_lut,
         radius=6.0, max_dist=50, ratio=1.0,
     )
     kp = jnp.clip(res.idx, 0, feats.capacity - 1)
@@ -367,8 +421,10 @@ class MonoTracker:
     vel_t: np.ndarray = None
     trajectory: List[np.ndarray] = field(default_factory=list)
     kf_slots: List[int] = field(default_factory=list)
+    free_kf_slots: List[int] = field(default_factory=list)  # recycled slots
     stats: dict = field(default_factory=dict)
     enable_loop_closing: bool = True
+    frozen: bool = False            # localization-only: no map mutation
     loop: loop_closing.LoopState = None
     n_loops_closed: int = 0
     atlas: "object" = None          # mapping.atlas.Atlas
@@ -397,6 +453,10 @@ class MonoTracker:
         cam = self.cfg.camera
         self.cam_params = jnp.asarray(cam.params, jnp.float32)
         self.img_wh = jnp.asarray([cam.width, cam.height], jnp.float32)
+        # Pinhole radtan distortion: undistort keypoints once per frame
+        # (kb8 distortion is part of the projection model itself).
+        self.dist = (jnp.asarray(cam.dist, jnp.float32)
+                     if cam.model == "pinhole" and any(cam.dist) else None)
         sf = extractor.scale_factors(self.cfg.orb)
         self.scale_lut = jnp.asarray(sf)
         self.sigma2_lut = jnp.asarray(sf * sf)
@@ -439,6 +499,9 @@ class MonoTracker:
         with self.timer.stage("orb_extraction"):
             feats = extractor.extract_jit(jnp.asarray(img, jnp.float32),
                                           self.cfg.orb)
+            if self.dist is not None:
+                feats = feats._replace(uv=_undistort_uv(
+                    feats.uv, self.cam_params, self.dist))
         if self.state == "NOT_INITIALIZED":
             out = self._initialize(feats)
         elif self.state == "OK":
@@ -456,7 +519,7 @@ class MonoTracker:
                 out = FrameResult("OK", R, t, n)
             else:
                 self.lost_count += 1
-                if self.lost_count > self.lost_patience:
+                if self.lost_count > self.lost_patience and not self.frozen:
                     # Atlas elastic recovery (CreateMapInAtlas /
                     # ResetActiveMap, src/Tracking.cc:2658/:3995).
                     self._new_map_in_atlas()
@@ -530,6 +593,7 @@ class MonoTracker:
             jnp.asarray(X), fa.desc, fa.level, rec.good,
             0, jnp.arange(self.n_feat, dtype=jnp.int32),
             1, kp_b.astype(jnp.int32),
+            scale_lut=self.scale_lut,
         )
         self.n_mp = int(n_new)
         self.n_kf = 2
@@ -554,6 +618,8 @@ class MonoTracker:
         ms = ms._replace(
             mp_pos=ms.mp_pos * s2,
             kf_t=ms.kf_t * s2,
+            mp_dist_min=ms.mp_dist_min * s2,
+            mp_dist_max=ms.mp_dist_max * s2,
         )
 
         self.ms = ms
@@ -601,32 +667,98 @@ class MonoTracker:
         self.n_kf = 0
         self.n_mp = 0
         self.kf_slots = []
+        self.free_kf_slots = []
+        self._win_cache_key = None
+        if self.cfg.sensor == "imu_mono":
+            # New map => new (non-metric) scale regime: the old map's
+            # preintegration chain, metric velocity, and init bookkeeping
+            # must not leak into it (slot keys get reused). Biases persist
+            # — they are sensor properties (the reference's CreateMapInAtlas
+            # keeps the last bias, src/Tracking.cc:2658).
+            from tpuslam.imu import preintegration as pre
+
+            self.kf_preint = {}
+            self.kf_vel = {}
+            self.imu_initialized = False
+            self.vel = np.zeros(3, np.float32)
+            self.cur_preint = pre.init_state(jnp.asarray(self.bg),
+                                             jnp.asarray(self.ba))
+            self.frame_preint = None
+            self._init_scale_prev = None
 
     # -- tracking -----------------------------------------------------------
 
-    def _window(self, free: Optional[int] = None):
-        """Temporal local window: last `local_window` KFs free, the 2
-        preceding fixed (always >=2 fixed for gauge)."""
-        W = self.cfg.map.local_window + self.cfg.map.local_fixed
-        slots = self.kf_slots[-W:]
+    def _window_slots(self, free_target: int):
+        """Select the local window: free = reference KF + most covisible
+        KFs; fixed = the next covisible ring (UpdateLocalKeyFrames K1∪K2,
+        /root/reference/src/Tracking.cc:3590; LocalBundleAdjustment's
+        free/fixed rings, Optimizer.cc:1776). Returns (slots, fixed_mask)
+        in temporal order. Falls back to the temporal window while the
+        map is young."""
+        mcfg = self.cfg.map
+        slots = self.kf_slots
         n = len(slots)
-        target = self.cfg.map.local_window if free is None else free
-        # >=2 fixed anchors whenever possible: with a single fixed pose the
-        # monocular scale gauge is unpinned and sliding-window BA drifts
-        # the local map against older fixed keyframes (observed as map
-        # corruption after ~10 keyframes). Two anchor poses pin scale
-        # through their baseline.
-        n_free = min(target, max(n - 2, n - 1 if n <= 2 else 0, 0))
+        pos = {s: i for i, s in enumerate(slots)}
+        W_total = mcfg.local_window + mcfg.local_fixed
+        if n <= W_total:
+            chosen = list(slots)
+            n_free = min(free_target, max(n - 2, n - 1 if n <= 2 else 0, 0))
+            free_set = set(chosen[n - n_free:])
+            return chosen, free_set
+
+        ref = slots[-1]
+        wts = np.asarray(mapstate.covisibility_weights(self.ms, ref))
+        # Free set: the reference KF, its 2 temporal predecessors (the
+        # triangulation partners), then covisibility-ranked.
+        free_set = {ref, slots[-2], slots[-3]}
+        ranked = sorted((s for s in slots[:-3] if wts[s] > 0),
+                        key=lambda s: -int(wts[s]))
+        for s in ranked:
+            if len(free_set) >= free_target:
+                break
+            free_set.add(s)
+        # Fixed ring: next covisible KFs (they anchor gauge + scale).
+        fixed_ring = [s for s in ranked if s not in free_set]
+        fixed_set = fixed_ring[: mcfg.local_fixed]
+        # >=2 fixed anchors whenever possible: with fewer the monocular
+        # scale gauge is unpinned and sliding-window BA drifts the local
+        # map against the rest (observed as map corruption ~10 KFs in).
+        while len(fixed_set) < 2:
+            # Take the temporally-oldest free KF (keep ref free).
+            old = min((s for s in free_set if s != ref),
+                      key=lambda s: pos[s], default=None)
+            if old is None:
+                break
+            free_set.discard(old)
+            fixed_set.append(old)
+        chosen = sorted(free_set | set(fixed_set), key=lambda s: pos[s])
+        return chosen, free_set
+
+    def _window(self, free: Optional[int] = None):
+        """Local covisibility window as fixed-shape arrays for the jitted
+        BA/matching programs."""
+        mcfg = self.cfg.map
+        W = mcfg.local_window + mcfg.local_fixed
+        target = mcfg.local_window if free is None else free
+        cache_key = (len(self.kf_slots), self.n_mp, self.n_loops_closed,
+                     target)
+        if getattr(self, "_win_cache_key", None) == cache_key:
+            return self._win_cache
+        chosen, free_set = self._window_slots(target)
+        n = len(chosen)
         kf_ids = np.full((W,), -1, np.int32)
         fixed = np.ones((W,), bool)
-        kf_ids[:n] = slots
-        for i in range(n - n_free, n):
-            fixed[i] = False
+        kf_ids[:n] = chosen
+        for i, s in enumerate(chosen):
+            fixed[i] = s not in free_set
         kf_ids_j = jnp.asarray(kf_ids)
         mp_ids, local = mapstate.local_point_ids(
-            self.ms, kf_ids_j, cap=self.cfg.map.ba_point_cap
+            self.ms, kf_ids_j, cap=mcfg.ba_point_cap
         )
-        return kf_ids_j, jnp.asarray(fixed), mp_ids, local
+        out = (kf_ids_j, jnp.asarray(fixed), mp_ids, local)
+        self._win_cache_key = cache_key
+        self._win_cache = out
+        return out
 
     # -- inertial plumbing ---------------------------------------------------
 
@@ -678,7 +810,7 @@ class MonoTracker:
         slots = chain[-8:]
         # Map maturity gate (>=10 KFs, LocalMapping.cc:1443): the young
         # map's scale drift produces confidently-wrong early estimates.
-        if len(slots) < 6 or self.n_kf < 10:
+        if len(slots) < 6 or len(self.kf_slots) < 10:
             return
         Rwb = jnp.asarray(np.stack(
             [np.asarray(self.ms.kf_R[s]).T for s in slots]))
@@ -720,6 +852,9 @@ class MonoTracker:
             kf_R=jnp.einsum("kij,jl->kil", self.ms.kf_R,
                             jnp.asarray(res.Rwg)),
             kf_t=s * self.ms.kf_t,
+            mp_normal=jnp.einsum("ij,mj->mi", Rgw, self.ms.mp_normal),
+            mp_dist_min=s * self.ms.mp_dist_min,
+            mp_dist_max=s * self.ms.mp_dist_max,
         )
         self.last_R = np.asarray(self.ms.kf_R[self.kf_slots[-1]])
         self.last_t = np.asarray(self.ms.kf_t[self.kf_slots[-1]])
@@ -843,11 +978,15 @@ class MonoTracker:
                 R_pred, t_pred,
                 mp_ids, self.ms.mp_pos[safe], self.ms.mp_desc[safe],
                 self.ms.mp_level[safe], mp_ok,
+                self.ms.mp_normal[safe], self.ms.mp_dist_min[safe],
+                self.ms.mp_dist_max[safe],
                 feats, self.cam_params, self.scale_lut, self.inv_sigma2_lut,
                 self.img_wh, sched=sched,
             )
             n_inl = int(n_inl)
-        self.ms = mapstate.update_point_stats(self.ms, visible_ids, found_ids)
+        if not self.frozen:
+            self.ms = mapstate.update_point_stats(self.ms, visible_ids,
+                                                  found_ids)
 
         if n_inl < tcfg.min_inliers_track:
             self.state = "LOST"
@@ -901,7 +1040,12 @@ class MonoTracker:
     def _need_keyframe(self, n_inl: int) -> bool:
         """NeedNewKeyFrame rules c1a/c2 (src/Tracking.cc:3227-3240)."""
         tcfg = self.cfg.tracking
-        if self.n_kf >= self.cfg.map.max_keyframes:
+        if self.frozen:
+            # Localization-only mode never spawns keyframes
+            # (mbOnlyTracking, src/Tracking.cc:3140).
+            return False
+        if (not self.free_kf_slots
+                and self.n_kf >= self.cfg.map.max_keyframes):
             return False
         if n_inl < 15:
             return False
@@ -910,13 +1054,34 @@ class MonoTracker:
               and self.frames_since_kf >= 1)
         return c1a or c2
 
+    def _alloc_kf_slot(self) -> Optional[int]:
+        """Keyframe slot allocation with recycling: culled slots return
+        to a free list instead of leaking capacity (the reference deletes
+        KeyFrame objects; fixed pools recycle instead)."""
+        if self.free_kf_slots:
+            return self.free_kf_slots.pop(0)
+        if self.n_kf < self.cfg.map.max_keyframes:
+            s = self.n_kf
+            self.n_kf += 1
+            return s
+        return None
+
     def _create_keyframe(self, feats, R, t, assoc, n_inl: int):
-        slot = self.n_kf
+        # Map-point pool compaction before we add more (slot recycling:
+        # culled points' slots become reusable tail capacity).
+        if self.n_mp > int(0.9 * self.cfg.map.max_points):
+            with self.timer.stage("compaction"):
+                self.ms, n_valid, _ = mapstate.compact_points(self.ms)
+                self.n_mp = int(n_valid)
+                self._win_cache_key = None
+        slot = self._alloc_kf_slot()
+        if slot is None:
+            return
         with self.timer.stage("kf_insert"):
             self.ms = mapstate.add_keyframe(self.ms, slot, R, t, feats,
                                             assoc)
-        self.n_kf += 1
         self.kf_slots.append(slot)
+        self._win_cache_key = None
         self.frames_since_kf = 0
         self.ref_tracked = max(n_inl, 1)
 
@@ -968,6 +1133,16 @@ class MonoTracker:
                 self.inv_sigma2_lut, self.cam_params,
                 iters=self.cfg.solver.ba_iters,
             )
+        # Map-point hygiene over the refined window: distinctive
+        # descriptors + viewing normals + scale ranges
+        # (ComputeDistinctiveDescriptors / UpdateNormalAndDepth,
+        # src/MapPoint.cc:350/467 — refreshed in SearchInNeighbors,
+        # src/LocalMapping.cc:1060).
+        with self.timer.stage("hygiene"):
+            kf_ids, _, mp_ids, local = self._window()
+            self.ms = mapstate.refresh_point_hygiene(
+                self.ms, kf_ids, mp_ids, local, self.scale_lut)
+
         # Found-ratio culling (MapPointCulling analog).
         with self.timer.stage("culling"):
             self.ms = mapstate.cull_points(
@@ -981,13 +1156,21 @@ class MonoTracker:
                 if float(mapstate.keyframe_redundancy(self.ms, cand)) > 0.9:
                     self.ms = mapstate.cull_keyframe(self.ms, cand)
                     self.kf_slots.remove(cand)
+                    self.free_kf_slots.append(cand)
+                    self._win_cache_key = None
+                    self.kf_preint.pop(cand, None)
+                    self.kf_vel.pop(cand, None)
+                    # Drop it from the retrieval index too, or its stale
+                    # descriptors keep winning loop/reloc candidacy.
+                    self.loop.db = retrieval.unmark_keyframe(self.loop.db,
+                                                             cand)
 
         # Loop closing (LoopClosing::Run per-keyframe logic).
         if self.enable_loop_closing:
             loop_closing.on_new_keyframe(self.loop, self.ms, slot)
             with self.timer.stage("loop_detect"):
                 cand = loop_closing.detect_loop(self.loop, self.ms, slot,
-                                                self.n_kf)
+                                                self.kf_slots)
             if cand is not None:
                 self.key, sub = jax.random.split(self.key)
                 with self.timer.stage("loop_correct"):
@@ -995,8 +1178,11 @@ class MonoTracker:
                         self.ms, slot, cand, self.cam_params, sub)
                     if ok:
                         self.ms = loop_closing.correct_loop(
-                            self.loop, self.ms, slot, cand, self.n_kf,
-                            s_cl, R_cl, t_cl)
+                            self.loop, self.ms, slot, cand, self.kf_slots,
+                            s_cl, R_cl, t_cl,
+                            # Metric maps (IMU-initialized) lock scale —
+                            # the 4-DoF-variant role (Optimizer.cc:8520).
+                            fix_scale=self.imu_initialized)
                         # Post-loop global refinement
                         # (RunGlobalBundleAdjustment analog).
                         self.run_global_ba()
@@ -1006,6 +1192,6 @@ class MonoTracker:
                         self.vel_t = np.zeros(3, np.float32)
                         self.n_loops_closed += 1
 
-        self.stats = {"kf": self.n_kf, "mp": self.n_mp,
+        self.stats = {"kf": len(self.kf_slots), "mp": self.n_mp,
                       "ba_chi2": float(chi2),
                       "loops": self.n_loops_closed}
