@@ -17,13 +17,20 @@ from tpuslam.system import System
 @pytest.mark.slow
 def test_mono_inertial_metric_scale():
     h, w = 480, 640
-    n_frames = 80
+    n_frames = 140
     fps, freq = 20.0, 200.0
+    # speed_mod excites the accelerometer: a constant-speed orbit leaves
+    # scale near-unobservable (only the small centripetal signal) and
+    # inertial init is ill-conditioned — the reason EuRoC sequences open
+    # with a shake. 900 world points keep the visual chain accurate
+    # enough that the gyro-bias estimate is not dominated by visual
+    # rotation drift (measured: sparse worlds give bg errors ~40x the
+    # injected bias).
     sim = synthetic.simulate_imu(
-        n_frames, fps=fps, imu_freq=freq, arc=0.8 * np.pi,
+        n_frames, fps=fps, imu_freq=freq, arc=1.2 * np.pi, speed_mod=0.5,
         bias_gyro=(0.002, -0.001, 0.003),
     )
-    world = synthetic.make_world(n_points=400, h=h, w=w, seed=0)
+    world = synthetic.make_world(n_points=900, h=h, w=w, seed=0)
     cfg = SLAMConfig(
         camera=CameraConfig(width=w, height=h, fx=float(world.cam[0]),
                             fy=float(world.cam[1]), cx=float(world.cam[2]),
@@ -47,10 +54,12 @@ def test_mono_inertial_metric_scale():
     tr = sysm.tracker
     assert tr.state == "OK"
     assert tr.imu_initialized, "IMU never initialized"
-    # Bias estimate is finite/sane; ACCURACY is a round-2 work item
-    # (the visual chain's pose noise dominates the short init window;
-    # see tracker._viba_window for the refinement hook).
-    assert np.all(np.abs(tr.bg) < 0.5)
+    # Bias estimate is sane. The residual bg error on this fixture is
+    # visual rotation drift absorbed by the bias (the inward orbit makes
+    # yaw/translation nearly degenerate; the strong first-init gyro
+    # prior, ref InitializeIMU(1e2, 1e10), bounds the damage).
+    assert np.all(np.abs(tr.bg) < 0.1)
+    assert tr.atlas.n_maps == 0, "tracking was lost and the map reset"
 
     # Evaluate the POST-INIT segment only: frames before IMU init were
     # recorded at the arbitrary visual scale (the reference's trajectory

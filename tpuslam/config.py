@@ -68,6 +68,19 @@ class IMUConfig:
     walk_gyro: float = 1.9e-5
     walk_acc: float = 3.0e-3
     gravity: float = 9.81           # GRAVITY_VALUE, /root/reference/include/ImuTypes.h:41
+    # Post-init refinement staging times (s since IMU init): VIBA1/VIBA2
+    # re-initialization and mono scale refinement cadence
+    # (/root/reference/src/LocalMapping.cc:227-268; scale ref at 25 s,
+    # then every 10 s). Tests on short synthetic sequences shrink these.
+    viba1_t: float = 5.0
+    viba2_t: float = 15.0
+    scale_ref_interval: float = 10.0
+    # Inertial-init window: the keyframe chain must span this much time
+    # (mono minTime=2 s) and the map must have this many keyframes
+    # (nMinKF=10) before InertialOptimization is attempted
+    # (/root/reference/src/LocalMapping.cc:1443-1445).
+    init_window_t: float = 2.0
+    init_min_kf: int = 10
     # Body-from-camera extrinsics as a flat 4x4 row-major tuple (Tbc).
     Tbc: Tuple[float, ...] = tuple(
         float(v) for v in (1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1)
@@ -125,7 +138,11 @@ class TrackingConfig:
     min_matches_local: int = 30     # TrackLocalMap success, pure visual (Tracking.cc:3093)
     kf_min_interval: int = 0        # min frames between KFs
     kf_max_interval: int = 10       # force KF after this many frames (c1a analog)
-    kf_ref_ratio: float = 0.95      # insert KF if tracked < ratio * ref tracked (c2)
+    kf_min_interval: int = 3        # min frames between ratio-triggered KFs
+                                    # (c1b mapping-idle backpressure analog)
+    kf_ref_ratio: float = 0.9       # insert KF if tracked < ratio * ref KF's
+                                    # multi-observed points (c2, mono thRefRatio
+                                    # 0.9, src/Tracking.cc:3227)
     recently_lost_frames: int = 100 # ~5 s at 20 fps (time_recently_lost, Tracking.h:343)
     init_min_matches: int = 100     # monocular init needs this many matches (Tracking.cc:2457)
     init_min_tri: int = 50          # and this many triangulated points

@@ -228,13 +228,24 @@ def simulate_imu(
     noise_gyro: float = 0.0,
     noise_acc: float = 0.0,
     seed: int = 3,
+    Tbc=None,
+    speed_mod: float = 0.0,
+    speed_cycles: float = 3.0,
     **orbit_kw,
 ):
     """Simulate an orbit trajectory with IMU.
 
-    Body frame == camera frame (Tbc = I). Returns dict with:
+    `speed_mod` adds a smooth +-speed_mod relative speed oscillation
+    (speed_cycles periods over the run). A constant-speed orbit gives
+    the accelerometer only a small centripetal signal — scale is then
+    near-unobservable and inertial initialization is ill-conditioned
+    (the reason EuRoC sequences begin with an excitation shake; the
+    reference requires this motion before InitializeIMU can succeed).
+
+    `Tbc` (4x4 body-from-camera, the reference's convention) places the
+    IMU off the optical center; None = identity. Returns dict with:
     - poses: list of n_frames (R_cw, t_cw) at camera rate,
-    - vel: (n_frames,3) true world velocities at frame times,
+    - vel: (n_frames,3) true BODY world velocities at frame times,
     - imu_acc/imu_gyro: (n_frames-1, S, 3) per-inter-frame sample blocks,
     - imu_dt: scalar sample period.
 
@@ -251,7 +262,12 @@ def simulate_imu(
     h = 1.0 / imu_freq
     total = (n_frames - 1) * S + 1
     T = (n_frames - 1) / fps
-    a_of_t = lambda t: arc * t / T           # noqa: E731
+    if speed_mod:
+        two_pi_c = 2.0 * np.pi * speed_cycles
+        a_of_t = lambda t: arc * (                      # noqa: E731
+            t / T + speed_mod * np.sin(two_pi_c * t / T) / two_pi_c)
+    else:
+        a_of_t = lambda t: arc * t / T       # noqa: E731
 
     # Dense sampling (need one extra sample each side for differences).
     # No clipping: the orbit is analytic for any t, and clipping would
@@ -264,8 +280,18 @@ def simulate_imu(
         tcw_d.append(tt)
     Rcw_d = np.stack(Rcw_d)
     tcw_d = np.stack(tcw_d)
-    Rwb_d = Rcw_d.transpose(0, 2, 1)         # body=camera: Rwb = Rcw^T
-    pwb_d = -np.einsum("nij,nj->ni", Rwb_d, tcw_d)
+    # Body pose through the extrinsics: Twb = Twc o Tcb.
+    if Tbc is None:
+        Rcb = np.eye(3)
+        tcb = np.zeros(3)
+    else:
+        Tbc = np.asarray(Tbc, np.float64).reshape(4, 4)
+        Rcb = Tbc[:3, :3].T
+        tcb = -Tbc[:3, :3].T @ Tbc[:3, 3]
+    Rwc_d = Rcw_d.transpose(0, 2, 1)
+    twc_d = -np.einsum("nij,nj->ni", Rwc_d, tcw_d)
+    Rwb_d = np.einsum("nij,jk->nik", Rwc_d, Rcb)
+    pwb_d = np.einsum("nij,j->ni", Rwc_d, tcb) + twc_d
 
     g = np.array([0.0, 0.0, -gravity])
     # Gyro via relative rotation between consecutive dense samples.

@@ -166,16 +166,23 @@ def search_by_projection(
     radius: float = 15.0,
     max_dist: int = TH_HIGH,
     ratio: float = 1.0,
+    level_ref=None,  # (M,) optional stored reference octave
 ) -> MatchResult:
     """Map-point -> frame-keypoint guided matching.
 
     Ref: ORBmatcher::SearchByProjection (frame tracking variants :44/:2027):
     search window scaled by the predicted octave's scale factor, candidate
-    levels [pred-1, pred+1].
+    levels [pred-1, pred+1]. With `level_ref`, a keypoint level inside
+    EITHER window (predicted-from-distance or stored-at-creation) is
+    accepted — robust when the scene violates the constant-physical-size
+    assumption behind PredictScale (the descriptor gate still decides).
     """
     r = radius * jnp.take(scale_factors, jnp.clip(level_pred, 0,
                                                   scale_factors.shape[0] - 1))
     mask = window_mask(uv_proj, feats.uv, r)
-    mask = mask & level_mask(level_pred, feats.level)
+    lmask = level_mask(level_pred, feats.level)
+    if level_ref is not None:
+        lmask = lmask | level_mask(level_ref, feats.level)
+    mask = mask & lmask
     return match(desc_mp, feats.desc, valid_mp, feats.valid, mask,
                  max_dist=max_dist, ratio=ratio)

@@ -72,12 +72,18 @@ def discrete_noise(noise_gyro, noise_acc, walk_gyro, walk_acc, freq, dtype=jnp.f
     return nga, walk
 
 
+@jax.jit
 def integrate(state: PreintState, acc, gyro, dt, mask, nga, nga_walk) -> PreintState:
     """Integrate a window of samples: acc/gyro (N,3), dt (N,), mask (N,).
 
     Masked samples are skipped (identity update). Semantics follow
     `IntegrateNewMeasurement` (src/ImuTypes.cc:282): position/velocity and
     their Jacobians are updated with the *old* dR, then dR itself advances.
+
+    Must stay under jit: called eagerly, the inner `lax.scan` closes over
+    freshly-built constants every call and the executable cache never
+    hits — one fresh XLA compile per frame (observed: OOM after ~500
+    frames of leaked executables).
     """
     dtype = state.dR.dtype
     eye3 = jnp.eye(3, dtype=dtype)

@@ -9,7 +9,9 @@ later merge detection (MergeLocal — next round) and for trajectory
 export.
 
 Maps here are immutable snapshots (MapState NamedTuples), so archiving
-is O(1) — no locks, no deep copies.
+is O(1) — no locks, no deep copies. Archived maps are re-joined to the
+active session by `tpuslam.mapping.merge` when cross-map place
+recognition fires (MergeLocal, src/LoopClosing.cc:1450).
 """
 
 from __future__ import annotations
@@ -30,6 +32,16 @@ class ArchivedMap:
     n_mp: int
     trajectory: List[np.ndarray]   # packed per-frame poses of its session
     n_loops: int = 0
+    # Session frame index range [start, end) of this map — which entries
+    # of the tracker's (global, ever-growing) per-frame trajectory were
+    # produced while this map was active. Needed at merge time to
+    # transform exactly those frames into the welded world frame.
+    frame_range: tuple = (0, 0)
+    # Verified Sim3 constraints accumulated during the session
+    # (KeyFrame::AddLoopEdge analog) — re-joined into the merged
+    # session's pose graphs.
+    loop_edges: list = field(default_factory=list)
+    imu_initialized: bool = False
 
 
 @dataclass

@@ -295,6 +295,25 @@ def keyframe_redundancy(ms: MapState, slot):
 
 
 @jax.jit
+def kf_tracked_points(ms: MapState, slot, min_obs):
+    """Number of `slot`'s observed map points seen by >= min_obs
+    keyframes in total (KeyFrame::TrackedMapPoints,
+    /root/reference/src/KeyFrame.cc:693) — the reference count that
+    NeedNewKeyFrame's c2 ratio compares against (Tracking.cc:3185).
+    Counting only multi-observed points makes the threshold
+    self-stabilizing: fresh 2-view triangulations don't inflate it."""
+    obs_all = ms.kf_obs_mp
+    counts = jnp.zeros((ms.mp_capacity,), jnp.int32).at[
+        jnp.where((obs_all >= 0) & ms.kf_valid[:, None],
+                  obs_all, ms.mp_capacity)
+    ].add(1, mode="drop")
+    mine = ms.kf_obs_mp[slot]
+    safe = jnp.clip(mine, 0, ms.mp_capacity - 1)
+    ok = (mine >= 0) & ms.mp_valid[safe] & (counts[safe] >= min_obs)
+    return jnp.sum(ok).astype(jnp.int32)
+
+
+@jax.jit
 def covisibility_weights(ms: MapState, slot):
     """(K,) number of valid map points keyframe k shares with keyframe
     `slot` — the covisibility-graph edge weight

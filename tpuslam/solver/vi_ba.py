@@ -38,6 +38,9 @@ from tpuslam.imu import preintegration as pre
 from tpuslam.solver import factors
 
 CHI2_MONO = 5.991
+# 9-dof inertial-edge Huber threshold (LocalInertialBA's
+# rki->setDelta(sqrt(16.92)), /root/reference/src/Optimizer.cc:574).
+CHI2_INERTIAL = 16.92
 DOF = 15
 
 
@@ -192,8 +195,12 @@ def optimize_vi(
                 st, Rwb[i], pwb[i], vel[i], bg[i], ba[i],
                 Rwb[j], pwb[j], vel[j], gravity)
         )(win.preint, edge_i, edge_j)
-        inert = jnp.sum(
-            jnp.where(win.edge_valid[:, None], r_in * r_in, 0.0))
+        chi2_e = jnp.sum(r_in * r_in, axis=-1)
+        rho = jnp.where(
+            chi2_e <= CHI2_INERTIAL, chi2_e,
+            2.0 * jnp.sqrt(CHI2_INERTIAL * jnp.maximum(chi2_e, 1e-12))
+            - CHI2_INERTIAL)   # Huber cost, matches the edge weighting
+        inert = jnp.sum(jnp.where(win.edge_valid, rho, 0.0))
         rw = jax.vmap(lambda i, j: _bias_rw_residual(
             bg[i], ba[i], bg[j], ba[j], walk_info))(edge_i, edge_j)
         rw_c = jnp.sum(jnp.where(win.edge_valid[:, None], rw * rw, 0.0))
@@ -233,7 +240,20 @@ def optimize_vi(
                 st, Rwb[i], pwb[i], vel[i], bg[i], ba[i],
                 Rwb[j], pwb[j], vel[j], gravity)
         )(win.preint, edge_i, edge_j)                 # (K-1,9),(K-1,9,15)x2
-        ev = win.edge_valid.astype(dtype)[:, None, None]
+        # Huber on the whitened 9-dof inertial residual, delta^2=16.92
+        # (the reference robustifies LocalInertialBA's inertial edges the
+        # same way, src/Optimizer.cc:573-574) — without it, a window
+        # whose visual chain disagrees with the IMU (bias residue, map
+        # drift) gets its poses DRAGGED to the inertial solution, mass-
+        # culling reprojection inliers (measured: map death ~60 frames
+        # after IMU init).
+        chi2_in = jnp.sum(r_in * r_in, axis=-1)
+        # IRLS weight rho'(chi2) = min(1, delta/||r||); J and r each get
+        # its square root so J^T J and J^T r carry exactly rho'.
+        sw_in = jnp.minimum(
+            1.0, CHI2_INERTIAL / jnp.maximum(chi2_in, 1e-12)) ** 0.25
+        r_in = r_in * sw_in[:, None]
+        ev = (win.edge_valid.astype(dtype) * sw_in)[:, None, None]
         Ji = Ji * ev
         Jj = Jj * ev
         S = S.at[edge_i, :, edge_i, :].add(
@@ -443,6 +463,70 @@ def inertial_init(
     )
 
 
+class ScaleRefineResult(NamedTuple):
+    scale: jax.Array   # () multiplicative map-scale correction
+    Rwg: jax.Array     # (3,3) residual gravity-direction correction
+    cost0: jax.Array   # () initial whitened cost (at s=1, Rwg=I)
+    cost: jax.Array    # () final cost
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def scale_gravity_refine(
+    Rwb,              # (K,3,3) body rotations (fixed)
+    pwb,              # (K,3) body positions (fixed up to the scale var)
+    vel,              # (K,3) body world velocities (fixed)
+    bg, ba,           # (3,) biases (fixed)
+    preint: pre.PreintState,  # stacked (K-1,) consecutive-KF edges
+    edge_valid,       # (K-1,)
+    gravity_mag: float = 9.81,
+    iters: int = 10,
+) -> ScaleRefineResult:
+    """Mono scale refinement: scale + 2-dof gravity direction ONLY, all
+    keyframe states fixed. Ref: Optimizer::InertialOptimization(Map*,
+    Rwg, scale) (/root/reference/src/Optimizer.cc:5937) called from
+    LocalMapping::ScaleRefinement (:1646) every 10 s — the init scale is
+    rough by design; this cheap global problem absorbs the residue."""
+    K = Rwb.shape[0]
+    dtype = Rwb.dtype
+    edge_i = jnp.arange(K - 1)
+
+    def residuals(th):
+        Rwg = lie.so3_exp(jnp.concatenate([th[:2], jnp.zeros(1, dtype)]))
+        scale = jnp.exp(th[2])
+        g = Rwg @ jnp.asarray([0.0, 0.0, -gravity_mag], dtype)
+
+        def edge_res(e):
+            st = jax.tree_util.tree_map(lambda x: x[e], preint)
+            r = pre.inertial_residual(
+                st, Rwb[e], scale * pwb[e], vel[e],
+                Rwb[e + 1], scale * pwb[e + 1], vel[e + 1],
+                bg, ba, gravity=g)
+            return _whiten(st.cov[:9, :9], r) * edge_valid[e]
+
+        return jax.vmap(edge_res)(edge_i).reshape(-1)
+
+    def gn_step(i, state):
+        th, lam = state
+        r = residuals(th)
+        J = jax.jacfwd(residuals)(th)
+        H = J.T @ J + lam * jnp.eye(3, dtype=dtype)
+        dth = jnp.linalg.solve(H, -J.T @ r)
+        th_new = th + dth
+        better = jnp.sum(residuals(th_new) ** 2) < jnp.sum(r * r)
+        th = jnp.where(better, th_new, th)
+        lam = jnp.where(better, lam * 0.5, lam * 4.0)
+        return (th, lam)
+
+    th0 = jnp.zeros((3,), dtype)
+    cost0 = jnp.sum(residuals(th0) ** 2)
+    th, _ = jax.lax.fori_loop(0, iters, gn_step,
+                              (th0, jnp.asarray(1e-6, dtype)))
+    Rwg = lie.so3_exp(jnp.concatenate([th[:2], jnp.zeros(1, dtype)]))
+    return ScaleRefineResult(scale=jnp.exp(th[2]), Rwg=Rwg,
+                             cost0=cost0,
+                             cost=jnp.sum(residuals(th) ** 2))
+
+
 # ---------------------------------------------------------------------------
 # Frame VI pose-only optimization
 # ---------------------------------------------------------------------------
@@ -456,6 +540,10 @@ class PoseVIResult(NamedTuple):
     ba: jax.Array
     inlier: jax.Array
     n_inliers: jax.Array
+    H: jax.Array          # (15,15) GN Hessian at the solution — becomes
+                          # the next frame's marginal prior
+                          # (ConstraintPoseImu, include/G2oTypes.h:737;
+                          # recovery at Optimizer.cc:7960-7998)
 
 
 @functools.partial(jax.jit, static_argnames=("model", "rounds", "iters"))
@@ -484,8 +572,7 @@ def optimize_pose_vi(
         r = pred - uv
         return r, Xc, R_cw, jnp.sum(r * r, axis=-1) * inv_sigma2
 
-    def gn_iter(carry, use_huber):
-        Rwb, pwb, vel, bg, ba, inlier = carry
+    def build_Hb(Rwb, pwb, vel, bg, ba, inlier, use_huber):
         r, Xc, R_cw, chi2 = vis_chi2(Rwb, pwb)
         w = inv_sigma2 * inlier.astype(dtype)
         if use_huber:
@@ -522,7 +609,11 @@ def optimize_pose_vi(
             jnp.diag(walk_info.astype(dtype)))
         H = H + J_rw.T @ J_rw
         b = b - J_rw.T @ r_rw
+        return H, b
 
+    def gn_iter(carry, use_huber):
+        Rwb, pwb, vel, bg, ba, inlier = carry
+        H, b = build_Hb(Rwb, pwb, vel, bg, ba, inlier, use_huber)
         H = H + damping * jnp.eye(DOF, dtype=dtype) * (
             1.0 + jnp.trace(H) / DOF)
         d = jnp.linalg.solve(H, b)
@@ -540,6 +631,155 @@ def optimize_pose_vi(
         state = (Rwb, pwb, vel, bg, ba, inlier)
 
     Rwb, pwb, vel, bg, ba, inlier = state
+    # Hessian at the solution (undamped, kernel off) — the marginal
+    # information the reference recovers into ConstraintPoseImu
+    # (Optimizer.cc:7960-7998).
+    H_out, _ = build_Hb(Rwb, pwb, vel, bg, ba, inlier, False)
     return PoseVIResult(Rwb=Rwb, pwb=pwb, vel=vel, bg=bg, ba=ba,
                         inlier=inlier,
-                        n_inliers=jnp.sum(inlier).astype(jnp.int32))
+                        n_inliers=jnp.sum(inlier).astype(jnp.int32),
+                        H=H_out)
+
+
+class PoseVIPriorResult(NamedTuple):
+    Rwb: jax.Array
+    pwb: jax.Array
+    vel: jax.Array
+    bg: jax.Array
+    ba: jax.Array
+    inlier: jax.Array
+    n_inliers: jax.Array
+    H_marg: jax.Array     # (15,15) prior information for the NEXT frame
+                          # (Schur marginalization of the previous frame,
+                          # Optimizer.cc:8508-8515 + Marginalize :5223)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "rounds", "iters"))
+def optimize_pose_vi_prior(
+    # Previous-frame state (free, held by its marginal prior).
+    pRwb, ppwb, pvel, pbg, pba,
+    H_prior,                            # (15,15) prior info at prev state
+    # Current-frame init.
+    Rwb0, pwb0, vel0, bg0, ba0,
+    preint: pre.PreintState,            # prev-frame -> frame
+    X_w, uv, inv_sigma2, valid,         # current frame's visual matches
+    cam_params, Rcb, tcb, gravity,
+    walk_info,                          # (6,)
+    model: str = "pinhole",
+    rounds: int = 3,
+    iters: int = 4,
+    chi2_th: float = CHI2_MONO,
+    damping: float = 1e-5,
+) -> PoseVIPriorResult:
+    """Ref: PoseInertialOptimizationLastFrame (Optimizer.cc:8009): joint
+    30-dof problem over (previous frame, current frame) — visual
+    reprojection on the current pose, one inertial edge, bias random
+    walk, and the previous frame's 15x15 marginal prior
+    (EdgePriorPoseImu, include/G2oTypes.h:798). After convergence the
+    previous frame is Schur-marginalized; the reduced 15x15 information
+    becomes the next frame's prior — frame-to-frame VIO stays O(1) in
+    trajectory length."""
+    dtype = Rwb0.dtype
+    D2 = 2 * DOF
+    # Prior linearization anchor = incoming previous state.
+    aRwb, apwb, avel, abg, aba = pRwb, ppwb, pvel, pbg, pba
+
+    def vis_chi2(Rwb, pwb):
+        R_cw, t_cw = _cam_from_body(Rwb, pwb, Rcb, tcb)
+        Xc = jnp.einsum("ij,nj->ni", R_cw, X_w) + t_cw
+        pred = cameras.project(Xc, cam_params, model)
+        r = pred - uv
+        return r, Xc, R_cw, jnp.sum(r * r, axis=-1) * inv_sigma2
+
+    def prior_tangent(Rwb, pwb, vel, bg, ba):
+        """Tangent of the prev state wrt the prior anchor (matches
+        _apply_delta's parameterization)."""
+        return jnp.concatenate([
+            lie.so3_log(jnp.swapaxes(aRwb, -1, -2) @ Rwb),
+            pwb - apwb, vel - avel, bg - abg, ba - aba])
+
+    def build_Hb(state, inlier, use_huber):
+        (pR, pp, pv, pg, pa, Rwb, pwb, vel, bg, ba) = state
+        H = jnp.zeros((D2, D2), dtype)
+        b = jnp.zeros((D2,), dtype)
+
+        # Visual terms on the current pose (rows 15:21 of the tangent).
+        r, Xc, R_cw, chi2 = vis_chi2(Rwb, pwb)
+        w = inv_sigma2 * inlier.astype(dtype)
+        if use_huber:
+            w = w * factors.huber_weight(chi2, chi2_th)
+        Jproj = cameras.project_jac(Xc, cam_params, model)
+        y = jnp.einsum("ji,nj->ni", Rwb, X_w - pwb)
+        Jth = jnp.einsum("ij,njl->nil", Rcb, lie.hat(y))
+        Jp = -jnp.broadcast_to(R_cw, (X_w.shape[0], 3, 3))
+        JXc = jnp.concatenate([Jth, Jp], axis=-1)
+        Jv = jnp.einsum("nri,nij->nrj", Jproj, JXc)          # (N,2,6)
+        H = H.at[DOF:DOF + 6, DOF:DOF + 6].add(
+            jnp.einsum("nri,n,nrj->ij", Jv, w, Jv))
+        b = b.at[DOF:DOF + 6].add(-jnp.einsum("nri,n,nr->i", Jv, w, r))
+
+        # Inertial edge between the two frames (AD over both tangents).
+        def f(dp, dc):
+            pR2, pp2, pv2, pg2, pa2 = _apply_delta(pR, pp, pv, pg, pa, dp)
+            R2, p2, v2, _, _ = _apply_delta(Rwb, pwb, vel, bg, ba, dc)
+            return _inertial_residual_white(
+                preint, pR2, pp2, pv2, pg2, pa2, R2, p2, v2, gravity)
+
+        z = jnp.zeros(DOF, dtype)
+        r_in = f(z, z)
+        Jp_in = jax.jacfwd(f, 0)(z, z)
+        Jc_in = jax.jacfwd(f, 1)(z, z)
+        J_in = jnp.concatenate([Jp_in, Jc_in], axis=1)       # (9,30)
+        H = H + J_in.T @ J_in
+        b = b - J_in.T @ r_in
+
+        # Bias random walk prev -> cur.
+        r_rw = jnp.concatenate([bg - pg, ba - pa]) * walk_info
+        Jrw = jnp.zeros((6, D2), dtype)
+        Jrw = Jrw.at[:, DOF + 9:DOF + 15].set(jnp.diag(walk_info))
+        Jrw = Jrw.at[:, 9:15].set(-jnp.diag(walk_info))
+        H = H + Jrw.T @ Jrw
+        b = b - Jrw.T @ r_rw
+
+        # Marginal prior on the previous frame. Residual in the prior's
+        # tangent; Jacobian wrt the prev tangent ~= identity near the
+        # anchor (first-order, standard marginal-prior practice).
+        r_pr = prior_tangent(pR, pp, pv, pg, pa)
+        H = H.at[:DOF, :DOF].add(H_prior)
+        b = b.at[:DOF].add(-H_prior @ r_pr)
+        return H, b
+
+    def gn_iter(carry, use_huber):
+        state, inlier = carry[:-1], carry[-1]
+        H, b = build_Hb(state, inlier, use_huber)
+        H = H + damping * jnp.eye(D2, dtype=dtype) * (
+            1.0 + jnp.trace(H) / D2)
+        d = jnp.linalg.solve(H, b)
+        (pR, pp, pv, pg, pa, Rwb, pwb, vel, bg, ba) = state
+        pR, pp, pv, pg, pa = _apply_delta(pR, pp, pv, pg, pa, d[:DOF])
+        Rwb, pwb, vel, bg, ba = _apply_delta(Rwb, pwb, vel, bg, ba,
+                                             d[DOF:])
+        return (pR, pp, pv, pg, pa, Rwb, pwb, vel, bg, ba, inlier)
+
+    carry = (pRwb, ppwb, pvel, pbg, pba, Rwb0, pwb0, vel0, bg0, ba0, valid)
+    for rnd_i in range(rounds):
+        use_huber = rnd_i < rounds - 1
+        carry = jax.lax.fori_loop(
+            0, iters, lambda i, c: gn_iter(c, use_huber), carry)
+        Rwb, pwb = carry[5], carry[6]
+        _, _, _, chi2 = vis_chi2(Rwb, pwb)
+        inlier = valid & (chi2 <= chi2_th)
+        carry = carry[:-1] + (inlier,)
+
+    state, inlier = carry[:-1], carry[-1]
+    (pR, pp, pv, pg, pa, Rwb, pwb, vel, bg, ba) = state
+    # Schur-marginalize the previous frame out of the final Hessian:
+    # H_marg = Hcc - Hcp Hpp^-1 Hpc (Optimizer.cc:8511, Marginalize :5223).
+    H, _ = build_Hb(state, inlier, False)
+    Hpp = H[:DOF, :DOF] + 1e-6 * jnp.eye(DOF, dtype=dtype)
+    Hcp = H[DOF:, :DOF]
+    H_marg = H[DOF:, DOF:] - Hcp @ jnp.linalg.solve(Hpp, Hcp.T)
+    H_marg = 0.5 * (H_marg + H_marg.T)
+    return PoseVIPriorResult(
+        Rwb=Rwb, pwb=pwb, vel=vel, bg=bg, ba=ba, inlier=inlier,
+        n_inliers=jnp.sum(inlier).astype(jnp.int32), H_marg=H_marg)

@@ -38,6 +38,11 @@ class LoopState:
     last_candidate: int = -1
     consistency: int = 0
     last_loop_order: int = -999  # temporal index of last correction (cooldown)
+    # Merge detection state (mnMergeNumCoincidences analog,
+    # /root/reference/src/LoopClosing.cc:430-443).
+    merge_map: int = -1          # atlas index of the tracked candidate map
+    merge_candidate: int = -1    # keyframe slot inside that map
+    merge_consistency: int = 0
     # Accumulated loop constraints (slot_i, slot_j, s, R, t): every past
     # correction's verified Sim3 stays an edge in later pose graphs
     # (the reference's KeyFrame::AddLoopEdge, used at Optimizer.cc:2414).
@@ -107,39 +112,92 @@ def detect_loop(ls: LoopState, ms: mapstate.MapState, slot: int,
     return None
 
 
-def _kf_point_pairs(ms: mapstate.MapState, slot_a: int, slot_b: int):
+def detect_merge(ls: LoopState, ms: mapstate.MapState, slot: int,
+                 atlas) -> Optional[tuple]:
+    """Cross-map place recognition: score the new keyframe against every
+    ARCHIVED map's keyframes; a stable hit is a merge candidate.
+
+    Mirrors the loop/merge split of DetectNBestCandidates
+    (/root/reference/src/KeyFrameDatabase.cc:620: same-map hits become
+    loop candidates, other-map hits merge candidates) with the same
+    temporal-consistency counting as loops (mnMergeNumCoincidences >= 3,
+    src/LoopClosing.cc:430). Returns (map_index, candidate_slot) once
+    confirmed, else None."""
+    if atlas is None or atlas.n_maps == 0:
+        return None
+    q_desc = ms.kf_desc[slot]
+    q_valid = _strong(ms, slot)
+    best_map, best_slot, best_score = -1, -1, 0.0
+    for mi, am in enumerate(atlas.maps):
+        scores = np.asarray(retrieval.score_keyframes(
+            am.ms.kf_desc, am.ms.kf_kp_valid, am.ms.kf_valid,
+            q_desc, q_valid, match_th=25))
+        cand = int(np.argmax(scores))
+        if scores[cand] > best_score:
+            best_map, best_slot, best_score = mi, cand, float(scores[cand])
+    if _DEBUG:
+        print(f"[merge] kf={slot} best_map={best_map} slot={best_slot} "
+              f"score={best_score:.3f} consist={ls.merge_consistency}",
+              flush=True)
+    if best_map < 0 or best_score < ls.min_score:
+        ls.merge_consistency = 0
+        ls.merge_map = -1
+        ls.merge_candidate = -1
+        return None
+    order_prev = ls.merge_candidate
+    same_region = (ls.merge_map == best_map and order_prev >= 0
+                   and abs(best_slot - order_prev) <= 6)
+    ls.merge_consistency = ls.merge_consistency + 1 if same_region else 1
+    ls.merge_map = best_map
+    ls.merge_candidate = best_slot
+    if ls.merge_consistency >= ls.consistency_needed:
+        return best_map, best_slot
+    return None
+
+
+def _kf_point_pairs(ms_a: mapstate.MapState, slot_a: int, slot_b: int,
+                    ms_b: mapstate.MapState = None):
     """Descriptor-match keyframes a<->b; return camera-frame 3D pairs of
-    their associated map points + pixel observations."""
+    their associated map points + pixel observations. `ms_b` (defaults
+    to ms_a) lets a and b live in DIFFERENT maps — the cross-map variant
+    place recognition needs for merge detection
+    (/root/reference/src/KeyFrameDatabase.cc:620 splits loop vs merge
+    candidates by map)."""
+    if ms_b is None:
+        ms_b = ms_a
     res = matching.match(
-        ms.kf_desc[slot_a], ms.kf_desc[slot_b],
-        ms.kf_kp_valid[slot_a] & (ms.kf_obs_mp[slot_a] >= 0),
-        ms.kf_kp_valid[slot_b] & (ms.kf_obs_mp[slot_b] >= 0),
+        ms_a.kf_desc[slot_a], ms_b.kf_desc[slot_b],
+        ms_a.kf_kp_valid[slot_a] & (ms_a.kf_obs_mp[slot_a] >= 0),
+        ms_b.kf_kp_valid[slot_b] & (ms_b.kf_obs_mp[slot_b] >= 0),
         max_dist=matching.TH_LOW, ratio=0.9, mutual=True,
     )
-    idx_b = jnp.clip(res.idx, 0, ms.kf_obs_mp.shape[1] - 1)
-    mp_a = ms.kf_obs_mp[slot_a]
-    mp_b = ms.kf_obs_mp[slot_b][idx_b]
+    idx_b = jnp.clip(res.idx, 0, ms_b.kf_obs_mp.shape[1] - 1)
+    mp_a = ms_a.kf_obs_mp[slot_a]
+    mp_b = ms_b.kf_obs_mp[slot_b][idx_b]
     valid = (res.idx >= 0) & (mp_a >= 0) & (mp_b >= 0)
-    mp_a_s = jnp.clip(mp_a, 0, ms.mp_capacity - 1)
-    mp_b_s = jnp.clip(mp_b, 0, ms.mp_capacity - 1)
-    valid = valid & ms.mp_valid[mp_a_s] & ms.mp_valid[mp_b_s]
-    Xa_w = ms.mp_pos[mp_a_s]
-    Xb_w = ms.mp_pos[mp_b_s]
-    Xa_c = Xa_w @ ms.kf_R[slot_a].T + ms.kf_t[slot_a]
-    Xb_c = Xb_w @ ms.kf_R[slot_b].T + ms.kf_t[slot_b]
-    uv_a = ms.kf_uv[slot_a]
-    uv_b = ms.kf_uv[slot_b][idx_b]
+    mp_a_s = jnp.clip(mp_a, 0, ms_a.mp_capacity - 1)
+    mp_b_s = jnp.clip(mp_b, 0, ms_b.mp_capacity - 1)
+    valid = valid & ms_a.mp_valid[mp_a_s] & ms_b.mp_valid[mp_b_s]
+    Xa_w = ms_a.mp_pos[mp_a_s]
+    Xb_w = ms_b.mp_pos[mp_b_s]
+    Xa_c = Xa_w @ ms_a.kf_R[slot_a].T + ms_a.kf_t[slot_a]
+    Xb_c = Xb_w @ ms_b.kf_R[slot_b].T + ms_b.kf_t[slot_b]
+    uv_a = ms_a.kf_uv[slot_a]
+    uv_b = ms_b.kf_uv[slot_b][idx_b]
     return Xa_c, Xb_c, uv_a, uv_b, valid
 
 
 def verify_loop(ms: mapstate.MapState, cur: int, cand: int, cam_params,
-                key, min_inliers: int = 20):
+                key, min_inliers: int = 20,
+                ms_cand: mapstate.MapState = None):
     """Sim3 RANSAC + GN refinement between current and candidate KF.
 
     Returns (ok, s, R, t) with x_cand_cam = s R x_cur_cam + t
     (nBoWInliers=15 RANSAC / nSim3Inliers=20 gates,
-    src/LoopClosing.cc:641-645)."""
-    Xc, Xl, uv_c, uv_l, valid = _kf_point_pairs(ms, cur, cand)
+    src/LoopClosing.cc:641-645). `ms_cand` places the candidate in a
+    different map (merge verification)."""
+    Xc, Xl, uv_c, uv_l, valid = _kf_point_pairs(ms, cur, cand,
+                                                ms_b=ms_cand)
     if int(jnp.sum(valid)) < 12:
         return False, None, None, None
     eye = jnp.eye(3, dtype=jnp.float32)

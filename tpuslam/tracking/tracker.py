@@ -28,8 +28,14 @@ later stage.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
+
+# Experiment toggles (trace-time constants; default on).
+_GEOM_GATES = not os.environ.get("TPUSLAM_NO_GEOM_GATES")
+_PRED_SCALE = not os.environ.get("TPUSLAM_NO_PREDSCALE")
+_HYGIENE = not os.environ.get("TPUSLAM_NO_HYGIENE")
 
 import jax
 import jax.numpy as jnp
@@ -75,7 +81,7 @@ def _reconstruct(b1, b2, valid, key, focal: float):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "model", "radius1", "radius2", "sched"))
+    "model", "radius1", "radius2", "sched", "level_widen"))
 def _track_pose(
     R0, t0,
     mp_ids,          # (P,) int32 local map point ids (-1 pad)
@@ -95,6 +101,7 @@ def _track_pose(
     radius1: float = 15.0,
     radius2: float = 4.0,
     sched: tuple = ((2, 3), (2, 4)),
+    level_widen: bool = False,
 ):
     """Two guided-match + pose-GN rounds against the local map.
 
@@ -121,17 +128,20 @@ def _track_pose(
             (uv[:, 0] >= 0) & (uv[:, 0] < img_wh[0])
             & (uv[:, 1] >= 0) & (uv[:, 1] < img_wh[1])
         )
-        viewcos = jnp.sum(mp_normal * (Xc @ R), axis=-1) / jnp.maximum(
-            dist, 1e-9)
-        ok = ok & jnp.where(has_geom, viewcos > 0.5, True)
-        ok = ok & jnp.where(
-            has_geom,
-            (dist >= 0.8 * mp_dmin) & (dist <= 1.2 * mp_dmax), True)
+        if _GEOM_GATES:
+            viewcos = jnp.sum(mp_normal * (Xc @ R), axis=-1) / jnp.maximum(
+                dist, 1e-9)
+            ok = ok & jnp.where(has_geom, viewcos > 0.5, True)
+            ok = ok & jnp.where(
+                has_geom,
+                (dist >= 0.8 * mp_dmin) & (dist <= 1.2 * mp_dmax), True)
         lvl = jnp.ceil(
             jnp.log(jnp.maximum(mp_dmax, 1e-9) / jnp.maximum(dist, 1e-9))
             / log_sf).astype(jnp.int32)
         lvl = jnp.where(has_geom,
                         jnp.clip(lvl, 0, scale_lut.shape[0] - 1), mp_level)
+        if not _PRED_SCALE:
+            lvl = mp_level
         return Xc, uv, ok, lvl
 
     def rnd(R, t, radius, max_dist, rounds, iters):
@@ -144,6 +154,7 @@ def _track_pose(
         res = matching.search_by_projection(
             uv, lvl, visible, mp_desc, feats, scale_lut,
             radius=radius, max_dist=max_dist, ratio=1.0,
+            level_ref=mp_level if level_widen else None,
         )
         matched = res.idx >= 0
         kp = jnp.clip(res.idx, 0, feats.capacity - 1)
@@ -176,7 +187,7 @@ def _track_pose(
     res2 = matching.search_by_projection(
         uv, lvl, mp_ok & frustum_ok, mp_desc, feats,
         scale_lut, radius=2.0 * radius2, max_dist=matching.TH_LOW + 25,
-        ratio=1.0,
+        ratio=1.0, level_ref=mp_level if level_widen else None,
     )
     kp = jnp.clip(res2.idx, 0, feats.capacity - 1)
     r = uv - feats.uv[kp]
@@ -195,6 +206,19 @@ def _track_pose(
     visible_ids = jnp.where(visible, mp_ids, -1)
     found_ids = jnp.where(good, mp_ids, -1)
     return opt2.R, opt2.t, assoc, opt2.n_inliers, visible_ids, found_ids
+
+
+@jax.jit
+def _gather_vi_matches(ms: mapstate.MapState, assoc, feats: FrameFeatures,
+                       inv_sigma2_lut):
+    """Per-keypoint 2D-3D match arrays for the VI pose optimizers."""
+    cap = ms.mp_capacity
+    safe = jnp.clip(assoc, 0, cap - 1)
+    X_w = ms.mp_pos[safe]
+    valid = (assoc >= 0) & ms.mp_valid[safe]
+    inv_s2 = inv_sigma2_lut[jnp.clip(feats.level, 0,
+                                     inv_sigma2_lut.shape[0] - 1)]
+    return X_w, valid, inv_s2
 
 
 @functools.partial(jax.jit, static_argnames=("focal",))
@@ -272,7 +296,7 @@ def _triangulate_between(
     return ms, n_new
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("level_widen",))
 def _fuse_into_kf(
     ms: mapstate.MapState,
     slot,
@@ -281,6 +305,7 @@ def _fuse_into_kf(
     scale_lut,
     inv_sigma2_lut,
     img_wh,
+    level_widen: bool = False,
 ):
     """Add missing map-point observations to keyframe `slot` by guided
     projection into its stored keypoints (ORBmatcher::Fuse,
@@ -313,18 +338,22 @@ def _fuse_into_kf(
     dmax = ms.mp_dist_max[safe]
     has_geom = dmax > 0
     dist = jnp.linalg.norm(Xc, axis=-1)
-    viewcos = jnp.sum(ms.mp_normal[safe] * (Xc @ R), axis=-1) \
-        / jnp.maximum(dist, 1e-9)
-    visible = visible & jnp.where(has_geom, viewcos > 0.5, True)
-    visible = visible & jnp.where(
-        has_geom,
-        (dist >= 0.8 * ms.mp_dist_min[safe]) & (dist <= 1.2 * dmax), True)
+    if _GEOM_GATES:
+        viewcos = jnp.sum(ms.mp_normal[safe] * (Xc @ R), axis=-1) \
+            / jnp.maximum(dist, 1e-9)
+        visible = visible & jnp.where(has_geom, viewcos > 0.5, True)
+        visible = visible & jnp.where(
+            has_geom,
+            (dist >= 0.8 * ms.mp_dist_min[safe]) & (dist <= 1.2 * dmax),
+            True)
     log_sf = jnp.log(scale_lut[1]) if scale_lut.shape[0] > 1 else 1.0
     lvl = jnp.ceil(jnp.log(jnp.maximum(dmax, 1e-9)
                            / jnp.maximum(dist, 1e-9)) / log_sf
                    ).astype(jnp.int32)
     lvl = jnp.where(has_geom, jnp.clip(lvl, 0, scale_lut.shape[0] - 1),
                     ms.mp_level[safe])
+    if not _PRED_SCALE:
+        lvl = ms.mp_level[safe]
     feats = FrameFeatures(
         uv=ms.kf_uv[slot], level=ms.kf_level[slot], angle=ms.kf_uv[slot][:, 0],
         response=ms.kf_uv[slot][:, 0], desc=ms.kf_desc[slot],
@@ -333,6 +362,7 @@ def _fuse_into_kf(
     res = matching.search_by_projection(
         uv, lvl, visible, ms.mp_desc[safe], feats, scale_lut,
         radius=6.0, max_dist=50, ratio=1.0,
+        level_ref=ms.mp_level[safe] if level_widen else None,
     )
     kp = jnp.clip(res.idx, 0, feats.capacity - 1)
     r = uv - feats.uv[kp]
@@ -420,13 +450,25 @@ class MonoTracker:
     vel_R: np.ndarray = None
     vel_t: np.ndarray = None
     trajectory: List[np.ndarray] = field(default_factory=list)
+    # Relative trajectory: per frame, the reference-keyframe slot (-1 =
+    # absolute entry) and T_cr = T_cw o T_rw^-1 at track time. Export
+    # chains T_cr with the keyframe's CURRENT pose, so pose-graph /
+    # GBA / scale corrections retro-correct the whole frame trajectory
+    # (SaveTrajectoryEuRoC, /root/reference/src/System.cc:623; producers
+    # at src/Tracking.cc:2274-2296).
+    traj_ref: List[int] = field(default_factory=list)
+    traj_rel: List[np.ndarray] = field(default_factory=list)
     kf_slots: List[int] = field(default_factory=list)
     free_kf_slots: List[int] = field(default_factory=list)  # recycled slots
+    _map_start_frame: int = 0   # trajectory index where the active map began
     stats: dict = field(default_factory=dict)
     enable_loop_closing: bool = True
     frozen: bool = False            # localization-only: no map mutation
+    enable_pose_vi: bool = True     # per-frame VI pose refinement
+    enable_viba: bool = True        # VI window BA (init + per keyframe)
     loop: loop_closing.LoopState = None
     n_loops_closed: int = 0
+    n_merges: int = 0
     atlas: "object" = None          # mapping.atlas.Atlas
     lost_count: int = 0
     lost_patience: int = 20         # frames of failed reloc before new map
@@ -479,6 +521,25 @@ class MonoTracker:
             self.bg = np.zeros(3, np.float32)
             self.ba = np.zeros(3, np.float32)
             self.cur_preint = pre.init_state()
+            # Extrinsics: cfg Tbc is body-from-camera (x_b = Rbc x_c + tbc,
+            # the reference's Tbc, Tracking.cc:945); cache camera-from-body.
+            Tbc = np.asarray(icfg.Tbc, np.float32).reshape(4, 4)
+            Rbc, tbc = Tbc[:3, :3], Tbc[:3, 3]
+            self.Rcb = Rbc.T.copy()
+            self.tcb = (-Rbc.T @ tbc).astype(np.float32)
+            # Per-frame-gap bias random-walk whitening 1/sigma
+            # (EdgeGyroRW/EdgeAccRW information, G2oTypes.h:658/699):
+            # sigma_walk(frame) = walk_density * sqrt(dt_frame).
+            dtf = 1.0 / self.cfg.camera.fps
+            wg = max(icfg.walk_gyro * np.sqrt(dtf), 1e-9)
+            wa = max(icfg.walk_acc * np.sqrt(dtf), 1e-9)
+            self.walk_info = jnp.asarray([1 / wg] * 3 + [1 / wa] * 3,
+                                         jnp.float32)
+            self.gravity_w = jnp.asarray([0.0, 0.0, -icfg.gravity],
+                                         jnp.float32)
+            self.prior_H = None        # 15x15 marginal prior (mpcpi)
+            self.body_state = None     # last frame's (Rwb,pwb) np arrays
+            self._map_updated = True
         self._vel_pred = None
         self.last_R = np.eye(3, dtype=np.float32)
         self.last_t = np.zeros(3, np.float32)
@@ -516,6 +577,12 @@ class MonoTracker:
                 self.last_R, self.last_t = R, t
                 self.vel_R = np.eye(3, dtype=np.float32)
                 self.vel_t = np.zeros(3, np.float32)
+                if self.cfg.sensor == "imu_mono":
+                    # Fresh anchor after relocalization (ResetFrameIMU
+                    # role, src/Tracking.cc:1548).
+                    self.prior_H = None
+                    self.body_state = None
+                    self._map_updated = True
                 out = FrameResult("OK", R, t, n)
             else:
                 self.lost_count += 1
@@ -526,12 +593,42 @@ class MonoTracker:
                 out = FrameResult("LOST", self.last_R, self.last_t, 0)
         self.trajectory.append(np.concatenate([
             out.R.reshape(-1), out.t.reshape(-1)]))
+        if self.kf_slots and out.state == "OK":
+            ref = self.kf_slots[-1]
+            R_r = np.asarray(self.ms.kf_R[ref])
+            t_r = np.asarray(self.ms.kf_t[ref])
+            R_cr = out.R @ R_r.T
+            t_cr = out.t - R_cr @ t_r
+            self.traj_ref.append(ref)
+            self.traj_rel.append(np.concatenate(
+                [R_cr.reshape(-1), t_cr]).astype(np.float32))
+        else:
+            self.traj_ref.append(-1)
+            self.traj_rel.append(self.trajectory[-1])
+        return out
+
+    def packed_trajectory(self) -> list:
+        """Per-frame absolute camera poses (12 floats: R|t), relative
+        entries chained through their reference keyframe's CURRENT pose
+        so every map correction since track time is reflected."""
+        kf_R = np.asarray(self.ms.kf_R)
+        kf_t = np.asarray(self.ms.kf_t)
+        out = []
+        for ref, rel in zip(self.traj_ref, self.traj_rel):
+            if ref < 0:
+                out.append(rel)   # absolute entry (kept world-current
+                continue          # by _apply_scaled_rotation)
+            R_cr = rel[:9].reshape(3, 3)
+            t_cr = rel[9:]
+            R = R_cr @ kf_R[ref]
+            t = R_cr @ kf_t[ref] + t_cr
+            out.append(np.concatenate([R.reshape(-1), t]))
         return out
 
     def positions(self) -> np.ndarray:
         """Camera centers (world frame) per processed frame."""
         out = []
-        for p in self.trajectory:
+        for p in self.packed_trajectory():
             R = p[:9].reshape(3, 3)
             t = p[9:]
             out.append(-R.T @ t)
@@ -651,7 +748,18 @@ class MonoTracker:
             ms=self.ms, kf_slots=list(self.kf_slots), n_kf=self.n_kf,
             n_mp=self.n_mp, trajectory=list(self.trajectory),
             n_loops=self.n_loops_closed,
+            frame_range=(self._map_start_frame, len(self.trajectory)),
+            loop_edges=list(self.loop.loop_edges) if self.loop else [],
+            imu_initialized=self.imu_initialized,
         ))
+        # Bake the relative trajectory to absolute: keyframe slots are
+        # about to be recycled by the new map, so old entries must stop
+        # referencing them. The archived map is frozen — its frames'
+        # poses only change again if merge.weld transforms that map.
+        packed = self.packed_trajectory()
+        self.traj_rel = [np.asarray(p, np.float32) for p in packed]
+        self.traj_ref = [-1] * len(packed)
+        self._map_start_frame = len(self.trajectory)
         self._reset_init()
         self.loop = loop_closing.LoopState.create(self.cfg.map.max_keyframes)
         self.state = "NOT_INITIALIZED"
@@ -685,6 +793,184 @@ class MonoTracker:
                                              jnp.asarray(self.ba))
             self.frame_preint = None
             self._init_scale_prev = None
+
+    # -- multi-map merging ---------------------------------------------------
+
+    def _merge_maps(self, mi: int, cand: int, slot: int,
+                    s_cl, R_cl, t_cl) -> bool:
+        """Weld the active map and archived map `mi` into one session
+        (LoopClosing::MergeLocal, /root/reference/src/LoopClosing.cc:1450).
+
+        Direction: visual sessions weld the ACTIVE map into the archived
+        one (older, usually larger; its world frame wins). Once the IMU
+        is initialized the active map is metric and gravity-aligned, so
+        the roles flip and the archived map is welded into the active
+        frame instead (MergeLocal2's choice, src/LoopClosing.cc:2282).
+
+        `verify_loop` gave x_cand_cam = s R x_cur_cam + t with `cand` in
+        the archived map and `slot` (current KF) in the active one.
+        Returns False (no state change) if the destination pool cannot
+        hold the source map."""
+        from tpuslam.mapping import merge as mg
+
+        am = self.atlas.maps[mi]
+        into_archived = not self.imu_initialized
+        if into_archived:
+            ms_dst, ms_src = am.ms, self.ms
+            src_slots = self.kf_slots
+            w = mg.world_sim3_from_kf_pair(
+                am.ms, cand, self.ms, slot, s_cl, R_cl, t_cl)
+        else:
+            ms_dst, ms_src = self.ms, am.ms
+            src_slots = am.kf_slots
+            s_i = 1.0 / float(s_cl)
+            R_i = np.asarray(R_cl).T
+            t_i = -s_i * (R_i @ np.asarray(t_cl))
+            w = mg.world_sim3_from_kf_pair(
+                self.ms, slot, am.ms, cand, s_i, R_i, t_i)
+        plan = mg.plan_slot_maps(ms_dst, ms_src, src_slots)
+        if plan is None:
+            return False
+        kf_map, mp_map, kf_remap = plan
+        ms = mg.weld(ms_dst, ms_src, jnp.asarray(kf_map),
+                     jnp.asarray(mp_map), jnp.float32(w.s),
+                     jnp.asarray(w.R), jnp.asarray(w.t))
+        new_mp = np.zeros((ms.mp_capacity,), bool)
+        new_mp[mp_map[mp_map >= 0]] = True
+        with self.timer.stage("merge_fuse"):
+            ms, n_fused = mg.fuse_duplicate_points(
+                ms, jnp.asarray(new_mp), ms_dst.mp_valid)
+        self.ms = ms
+
+        sRw = float(w.s) * np.asarray(w.R)
+        if into_archived:
+            moved_range = (self._map_start_frame, len(self.trajectory))
+            self.kf_slots = list(am.kf_slots) + [
+                kf_remap[s] for s in self.kf_slots if s in kf_remap]
+            cur_slot = kf_remap[slot]
+            if self.cfg.sensor == "imu_mono":
+                self.kf_preint = {kf_remap[k]: v
+                                  for k, v in self.kf_preint.items()
+                                  if k in kf_remap}
+                self.kf_vel = {kf_remap[k]:
+                               (sRw @ v if v is not None else None)
+                               for k, v in self.kf_vel.items()
+                               if k in kf_remap}
+                if self.vel is not None:
+                    self.vel = (sRw @ self.vel).astype(np.float32)
+                # Archived map's metric status wins (it is the frame we
+                # welded into); its ladder is considered finished.
+                self.imu_initialized = am.imu_initialized
+                if self.imu_initialized:
+                    self._init_frame = len(self.trajectory)
+                    self._imu_stage = 2
+                    self._last_scale_ref = 0.0
+        else:
+            moved_range = am.frame_range
+            self.kf_slots = [kf_remap[s] for s in am.kf_slots
+                             if s in kf_remap] + list(self.kf_slots)
+            cur_slot = slot
+
+        # Transform the moved session's per-frame trajectory entries
+        # into the merged world (mlRelativeFramePoses update in
+        # CorrectLoop/MergeLocal; relative entries: R_cr invariant,
+        # t_cr scales by s_w; absolute entries transform like cameras:
+        # R' = R R_w^T, t' = s_w t - R' t_w).
+        Rw_T = np.asarray(w.R).T
+        for i in range(moved_range[0], min(moved_range[1],
+                                           len(self.traj_rel))):
+            p = self.traj_rel[i]
+            ref = self.traj_ref[i]
+            if ref >= 0:
+                if into_archived and ref in kf_remap:
+                    self.traj_ref[i] = kf_remap[ref]
+                    self.traj_rel[i] = np.concatenate(
+                        [p[:9], w.s * p[9:]]).astype(np.float32)
+                    continue
+                if not into_archived:
+                    # active-session refs keep their slots; nothing moves
+                    continue
+                # ref was culled before the merge: bake via the pre-merge
+                # source map, then fall through to the absolute rule.
+                R_cr = p[:9].reshape(3, 3)
+                R_ref = np.asarray(ms_src.kf_R[ref])
+                t_ref = np.asarray(ms_src.kf_t[ref])
+                R_abs = R_cr @ R_ref
+                t_abs = R_cr @ t_ref + p[9:]
+                p = np.concatenate([R_abs.reshape(-1), t_abs])
+                self.traj_ref[i] = -1
+            R_a = p[:9].reshape(3, 3) @ Rw_T
+            t_a = w.s * p[9:] - R_a @ np.asarray(w.t)
+            self.traj_rel[i] = np.concatenate(
+                [R_a.reshape(-1), t_a]).astype(np.float32)
+
+        # Pool counters from the merged validity masks.
+        kf_valid = np.asarray(self.ms.kf_valid)
+        mp_valid = np.asarray(self.ms.mp_valid)
+        self.n_kf = (int(np.max(np.nonzero(kf_valid)[0])) + 1
+                     if kf_valid.any() else 0)
+        self.free_kf_slots = [int(i) for i in range(self.n_kf)
+                              if not kf_valid[i]]
+        self.n_mp = (int(np.max(np.nonzero(mp_valid)[0])) + 1
+                     if mp_valid.any() else 0)
+
+        # Rebuild the retrieval index over the merged keyframe set and
+        # carry the Sim3 constraint history across (remapped for the
+        # moved map); the seam itself becomes a loop edge for future
+        # pose graphs (AddLoopEdge role, used at Optimizer.cc:2414).
+        new_ls = loop_closing.LoopState.create(self.cfg.map.max_keyframes)
+        for s in self.kf_slots:
+            new_ls.db = retrieval.mark_keyframe(new_ls.db, s)
+        moved_edges, kept_edges = (
+            (self.loop.loop_edges, am.loop_edges) if into_archived
+            else (am.loop_edges, self.loop.loop_edges))
+        for (ei, ej, es, eR, et) in kept_edges:
+            new_ls.loop_edges.append((ei, ej, es, eR, et))
+        for (ei, ej, es, eR, et) in moved_edges:
+            if ei in kf_remap and ej in kf_remap:
+                new_ls.loop_edges.append(
+                    (kf_remap[ei], kf_remap[ej], es, eR,
+                     np.asarray(w.s * np.asarray(et), np.float32)))
+        seam_a = kf_remap[cand] if not into_archived else cand
+        R_sa = np.asarray(self.ms.kf_R[seam_a])
+        t_sa = np.asarray(self.ms.kf_t[seam_a])
+        R_sb = np.asarray(self.ms.kf_R[cur_slot])
+        t_sb = np.asarray(self.ms.kf_t[cur_slot])
+        R_rel = R_sa @ R_sb.T
+        t_rel = t_sa - R_rel @ t_sb
+        new_ls.loop_edges.append((cur_slot, seam_a, 1.0,
+                                  R_rel.astype(np.float32),
+                                  t_rel.astype(np.float32)))
+        new_ls.last_loop_order = len(self.kf_slots) - 1  # cooldown
+        self.loop = new_ls
+
+        # Session pose state continues from the merged current keyframe.
+        self.last_R = np.asarray(self.ms.kf_R[cur_slot])
+        self.last_t = np.asarray(self.ms.kf_t[cur_slot])
+        self.vel_R = np.eye(3, dtype=np.float32)
+        self.vel_t = np.zeros(3, np.float32)
+        self._win_cache_key = None
+        self._map_start_frame = 0   # one session now spans everything
+        if self.cfg.sensor == "imu_mono":
+            self._map_updated = True
+            self.prior_H = None
+            self.body_state = None
+        self.atlas.maps.pop(mi)
+
+        # Welding bundle adjustment over the seam: the covisibility
+        # window of the current keyframe now spans both maps through the
+        # fused landmarks (MergeBundleAdjustmentVisual,
+        # /root/reference/src/Optimizer.cc:6040).
+        with self.timer.stage("merge_weld_ba"):
+            kf_ids, fixed, mp_ids, local = self._window()
+            self.ms, _ = _run_local_ba(
+                self.ms, kf_ids, fixed, mp_ids, local,
+                self.inv_sigma2_lut, self.cam_params,
+                iters=self.cfg.solver.ba_iters,
+            )
+        self.last_R = np.asarray(self.ms.kf_R[cur_slot])
+        self.last_t = np.asarray(self.ms.kf_t[cur_slot])
+        return True
 
     # -- tracking -----------------------------------------------------------
 
@@ -762,6 +1048,19 @@ class MonoTracker:
 
     # -- inertial plumbing ---------------------------------------------------
 
+    def _body_from_cam(self, R_cw, t_cw):
+        """Body pose world-from-body from a camera pose (Tbw = Tbc Tcw)."""
+        Rbc = self.Rcb.T
+        R_bw = Rbc @ np.asarray(R_cw)
+        t_bw = Rbc @ np.asarray(t_cw) - Rbc @ self.tcb
+        Rwb = R_bw.T
+        return Rwb.astype(np.float32), (-R_bw.T @ t_bw).astype(np.float32)
+
+    def _cam_from_body(self, Rwb, pwb):
+        R_cw = self.Rcb @ np.asarray(Rwb).T
+        t_cw = self.tcb - R_cw @ np.asarray(pwb)
+        return R_cw.astype(np.float32), t_cw.astype(np.float32)
+
     def _integrate_imu(self, gyro, acc, dt):
         """Integrate the frame gap's samples into both the keyframe-level
         and the per-frame preintegrations."""
@@ -783,14 +1082,13 @@ class MonoTracker:
         frame's body state through the frame preintegration."""
         from tpuslam.imu import preintegration as pre
 
-        Rwb = jnp.asarray(self.last_R.T)
-        pwb = jnp.asarray(-self.last_R.T @ self.last_t)
+        Rwb_np, pwb_np = self._body_from_cam(self.last_R, self.last_t)
         Rj, pj, vj = pre.predict(
-            self.frame_preint, Rwb, pwb, jnp.asarray(self.vel),
+            self.frame_preint, jnp.asarray(Rwb_np), jnp.asarray(pwb_np),
+            jnp.asarray(self.vel),
             jnp.asarray(self.bg), jnp.asarray(self.ba))
-        R_cw = jnp.swapaxes(Rj, -1, -2)
-        t_cw = -jnp.einsum("ij,j->i", R_cw, pj)
-        return R_cw, t_cw, np.asarray(vj)
+        R_cw, t_cw = self._cam_from_body(np.asarray(Rj), np.asarray(pj))
+        return jnp.asarray(R_cw), jnp.asarray(t_cw), np.asarray(vj)
 
     def _try_imu_init(self):
         """IMU init ladder entry (LocalMapping::InitializeIMU,
@@ -798,25 +1096,24 @@ class MonoTracker:
         keyframe chain, then ApplyScaledRotation to the whole map."""
         from tpuslam.solver import vi_ba
 
-        # Chain: use the LAST <=8 keyframes (kf_preint[s] holds the
-        # preintegration from the previous keyframe to s). The young
-        # map's early keyframes carry mono scale drift; a recent window
-        # is internally scale-consistent (the reference equally windows
-        # InertialOptimization over the latest keyframes).
-        if len(self.kf_slots) < 2:
+        # Chain: the recent consecutive keyframe tail spanning at least
+        # init_window_t seconds (kf_preint[s] holds the preintegration
+        # from the previous keyframe to s). The young map's early
+        # keyframes carry mono scale drift; a recent window is
+        # internally scale-consistent — but it must span enough TIME or
+        # scale/gravity are unobservable (minTime gate,
+        # src/LocalMapping.cc:1443).
+        icfg = self.cfg.imu
+        if len(self.kf_slots) < icfg.init_min_kf:
             return
-        chain = [self.kf_slots[1]] + [
-            s for s in self.kf_slots[2:] if s in self.kf_preint]
-        slots = chain[-8:]
-        # Map maturity gate (>=10 KFs, LocalMapping.cc:1443): the young
-        # map's scale drift produces confidently-wrong early estimates.
-        if len(slots) < 6 or len(self.kf_slots) < 10:
+        slots = self._preint_tail_time(icfg.init_window_t)
+        if len(slots) < 6:
             return
-        Rwb = jnp.asarray(np.stack(
-            [np.asarray(self.ms.kf_R[s]).T for s in slots]))
-        pwb = jnp.asarray(np.stack(
-            [-np.asarray(self.ms.kf_R[s]).T @ np.asarray(self.ms.kf_t[s])
-             for s in slots]))
+        body = [self._body_from_cam(np.asarray(self.ms.kf_R[s]),
+                                    np.asarray(self.ms.kf_t[s]))
+                for s in slots]
+        Rwb = jnp.asarray(np.stack([b[0] for b in body]))
+        pwb = jnp.asarray(np.stack([b[1] for b in body]))
         stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs),
             *[self.kf_preint[s] for s in slots[1:]])
@@ -825,6 +1122,11 @@ class MonoTracker:
             gravity_mag=self.cfg.imu.gravity,
         )
         s = float(res.scale)
+        if os.environ.get("TPUSLAM_VI_DEBUG"):
+            print(f"[vi-init] kf={len(self.kf_slots)} window={slots} "
+                  f"s={s:.3f} g_lin={float(res.g_lin_norm):.3f} "
+                  f"prev={getattr(self, '_init_scale_prev', None)} "
+                  f"bg={np.asarray(res.bg).round(4)}", flush=True)
         # Acceptance gates:
         # 1. scale sanity (LocalMapping.cc:1558);
         # 2. PHYSICAL health check: the closed-form linear alignment
@@ -846,11 +1148,45 @@ class MonoTracker:
             return
         # ApplyScaledRotation (Map.h:122): x' = s Rwg^T x so gravity
         # aligns with -z and the map becomes metric.
-        Rgw = jnp.asarray(res.Rwg).T
+        Rgw_np = np.asarray(res.Rwg).T
+        self._apply_scaled_rotation(s, Rgw_np)
+        self.bg = np.asarray(res.bg)
+        self.ba = np.asarray(res.ba)
+        self.vel = Rgw_np @ np.asarray(res.vel[-1])
+        self.imu_initialized = True
+        self._init_frame = len(self.trajectory)
+        self._imu_stage = 0
+        self._last_scale_ref = 0.0
+        self._map_updated = True
+        self.prior_H = None
+        self.body_state = None
+        # Seed keyframe velocities from the init solution (old-world
+        # velocities rotated into the gravity-aligned world).
+        for i, s_kf in enumerate(slots):
+            self.kf_vel[s_kf] = np.asarray(
+                Rgw_np @ np.asarray(res.vel[i]))
+        # Joint visual-inertial refinement of the init window — the
+        # FullInertialBA(its=100) the reference runs right after
+        # InitializeIMU (src/LocalMapping.cc:1593, VIBA1): the
+        # inertial-only estimate leaves bias/scale residue only the
+        # joint problem resolves.
+        if self.enable_viba:
+            self._local_inertial_ba(iters=12)
+        # Re-linearize the keyframe preintegration accumulator.
+        from tpuslam.imu import preintegration as pre
+        self.cur_preint = pre.init_state(jnp.asarray(self.bg),
+                                         jnp.asarray(self.ba))
+
+    def _apply_scaled_rotation(self, s: float, Rgw_np: np.ndarray):
+        """Rigid+scale world transform x' = s Rgw x applied to the whole
+        map and all cached per-session state (Map::ApplyScaledRotation,
+        include/Map.h:122, bScaledVel=true: velocities transform as
+        v' = s Rgw v to stay consistent with the rescaled positions)."""
+        Rgw = jnp.asarray(Rgw_np, jnp.float32)
+        Rwg = Rgw.T
         self.ms = self.ms._replace(
             mp_pos=s * jnp.einsum("ij,mj->mi", Rgw, self.ms.mp_pos),
-            kf_R=jnp.einsum("kij,jl->kil", self.ms.kf_R,
-                            jnp.asarray(res.Rwg)),
+            kf_R=jnp.einsum("kij,jl->kil", self.ms.kf_R, Rwg),
             kf_t=s * self.ms.kf_t,
             mp_normal=jnp.einsum("ij,mj->mi", Rgw, self.ms.mp_normal),
             mp_dist_min=s * self.ms.mp_dist_min,
@@ -858,43 +1194,190 @@ class MonoTracker:
         )
         self.last_R = np.asarray(self.ms.kf_R[self.kf_slots[-1]])
         self.last_t = np.asarray(self.ms.kf_t[self.kf_slots[-1]])
+        self.vel_t = self.vel_t * s
+        if self.vel is not None:
+            self.vel = s * (Rgw_np @ self.vel)
+        self.kf_vel = {k: (s * (Rgw_np @ v) if v is not None else None)
+                       for k, v in self.kf_vel.items()}
+        # Relative trajectory entries: T_cr translation is in map units
+        # (scale by s); absolute entries transform like keyframe poses
+        # (UpdateFrameIMU rescales mlRelativeFramePoses the same way,
+        # src/Tracking.cc:4133).
+        Rwg_np = Rgw_np.T
+        for i, ref in enumerate(self.traj_ref):
+            p = self.traj_rel[i]
+            if ref >= 0:
+                self.traj_rel[i] = np.concatenate(
+                    [p[:9], s * p[9:]]).astype(np.float32)
+            else:
+                R = p[:9].reshape(3, 3) @ Rwg_np
+                self.traj_rel[i] = np.concatenate(
+                    [R.reshape(-1), s * p[9:]]).astype(np.float32)
+        self._map_updated = True
+        self.prior_H = None
+        self.body_state = None
+        self._win_cache_key = None
+
+    def _imu_stage_ladder(self):
+        """Post-init refinement staging (LocalMapping::Run,
+        /root/reference/src/LocalMapping.cc:227-268): VIBA1 re-init at
+        t>5 s, VIBA2 at t>15 s, then mono scale refinement every 10 s.
+        The first init's scale is rough BY DESIGN (the reference claims
+        <5% only after this ladder, MyChangelog.md:27)."""
+        icfg = self.cfg.imu
+        t_init = ((len(self.trajectory) - self._init_frame)
+                  / self.cfg.camera.fps)
+        # DEVIATION from the reference's relaxing prior schedule
+        # (1e2 -> 1 -> 0): the gyro prior stays strong at every stage.
+        # The inertial-only problem holds poses fixed, so any visual
+        # rotational drift in the keyframe chain is absorbed by bg when
+        # the prior relaxes — measured on the inward-orbit fixture:
+        # prior_g=1 turned bg_y from -0.035 into -0.053 and produced
+        # |ba|~1.1 m/s^2. The joint window BA (_local_inertial_ba) is
+        # where biases and poses trade off properly.
+        if self._imu_stage == 0 and t_init > icfg.viba1_t:
+            self._imu_stage = 1
+            self._last_scale_ref = t_init
+            self._inertial_refine(prior_g=1e2, prior_a=1e5, tag="viba1")
+        elif self._imu_stage == 1 and t_init > icfg.viba2_t:
+            self._imu_stage = 2
+            self._last_scale_ref = t_init
+            self._inertial_refine(prior_g=1e2, prior_a=1e4, tag="viba2")
+        elif t_init > self._last_scale_ref + icfg.scale_ref_interval:
+            self._last_scale_ref = t_init
+            # Periodic refinement re-runs the FULL inertial-only problem
+            # (velocities + biases + scale + gravity dir, poses fixed)
+            # rather than the reference's scale+gdir-only variant: with
+            # velocities held at map scale, that variant is blind to
+            # scale error (measured: a 0.87-scaled window refines to
+            # s=1.0006 instead of 1.149 — the velocity constraints pin
+            # the wrong scale). The full problem on the same window
+            # recovers s to 4 decimals. The joint window BA cannot do
+            # this either: the scale valley stalls GN (measured
+            # 0.87 -> 0.83 and stuck), which is exactly why the
+            # reference re-runs explicit-scale inertial optimizations
+            # on a schedule instead of trusting LocalInertialBA.
+            self._inertial_refine(prior_g=1e2, prior_a=1e4,
+                                  tag="scale-ref")
+
+    def _preint_tail(self, n: int, need_vel: bool = False):
+        """Longest consecutive tail of kf_slots (up to n slots) whose
+        inertial edges all exist: every slot after the first must carry
+        the preintegration from its predecessor (adjacent kf_slots
+        entries are linked by construction; culling merges the chain,
+        src/LocalMapping.cc:1282)."""
+        tail = []
+        for s in reversed(self.kf_slots):
+            if len(tail) >= n:
+                break
+            if need_vel and self.kf_vel.get(s) is None:
+                break
+            if s not in self.kf_preint:
+                # `s` is the base slot: its own incoming edge is unused.
+                tail.append(s)
+                break
+            tail.append(s)
+        return tail[::-1]
+
+    def _preint_tail_time(self, min_span: float, need_vel: bool = False,
+                          sizes=(9, 13, 17, 21, 25, 33)):
+        """Most recent consecutive preint tail whose inertial edges span
+        >= min_span seconds of IMU time. Keyframe cadence is adaptive
+        (ratio-gated), so a fixed-COUNT window can span arbitrarily
+        little time — and scale is unobservable over a short baseline
+        (the reference windows InitializeIMU by minTime, not count,
+        src/LocalMapping.cc:1443). Window lengths are quantized to a few
+        sizes so the stacked inertial problem compiles O(1) times.
+        Returns [] if the chain cannot span the time yet."""
+        tail = self._preint_tail(sizes[-1], need_vel=need_vel)
+        if len(tail) < 3:
+            return []
+        dts = [float(self.kf_preint[s].dT) for s in tail[1:]]
+        for n in sizes:
+            if n > len(tail):
+                break
+            if sum(dts[-(n - 1):]) >= min_span:
+                return tail[-n:]
+        return []
+
+    def _inertial_refine(self, prior_g: float, prior_a: float,
+                         tag: str = "refine"):
+        """Re-run the full inertial-only estimation (velocities, biases,
+        gravity direction, scale; poses fixed) over the recent keyframe
+        chain and absorb the residual similarity correction, then joint
+        VI BA. This is InitializeIMU re-entered with relaxed priors —
+        VIBA1 (1, 1e5) / VIBA2 (0, 0), src/LocalMapping.cc:230-253 —
+        and also serves as the periodic mono scale refinement
+        (ScaleRefinement role, :1646; see _imu_stage_ladder for why the
+        full problem replaces the scale+gdir-only variant)."""
+        from tpuslam.solver import vi_ba
+
+        # Same time-span rule as init: short windows make scale/gravity
+        # unobservable and the "refinement" would inject noise.
+        slots = self._preint_tail_time(self.cfg.imu.init_window_t)
+        if len(slots) < 5:
+            return
+        body = [self._body_from_cam(np.asarray(self.ms.kf_R[s]),
+                                    np.asarray(self.ms.kf_t[s]))
+                for s in slots]
+        Rwb = jnp.asarray(np.stack([b[0] for b in body]))
+        pwb = jnp.asarray(np.stack([b[1] for b in body]))
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[self.kf_preint[s] for s in slots[1:]])
+        res = vi_ba.inertial_init(
+            Rwb, pwb, stacked, jnp.ones((len(slots) - 1,), bool),
+            gravity_mag=self.cfg.imu.gravity,
+            prior_g=prior_g, prior_a=prior_a,
+        )
+        s = float(res.scale)
+        if os.environ.get("TPUSLAM_VI_DEBUG"):
+            print(f"[{tag}] s={s:.3f} bg={np.asarray(res.bg).round(4)}"
+                  f" ba={np.asarray(res.ba).round(4)}", flush=True)
+        # The map is already ~metric: reject corrections that claim
+        # otherwise (bad window/ill-conditioned refit) instead of
+        # applying them. Gates: scale correction small, the free-gravity
+        # linear check still physical, and biases at sensor-plausible
+        # magnitudes (|ba| ~1 m/s^2 means the problem dumped visual
+        # drift into the accelerometer — measured failure mode).
+        if not np.isfinite(s) or not (0.77 < s < 1.3):
+            return
+        if abs(float(res.g_lin_norm) - self.cfg.imu.gravity) > 0.5:
+            return
+        if (float(np.max(np.abs(res.ba))) > 0.3
+                or float(np.max(np.abs(res.bg))) > 0.2):
+            return
+        Rgw_np = np.asarray(res.Rwg).T
+        self._apply_scaled_rotation(s, Rgw_np)
         self.bg = np.asarray(res.bg)
         self.ba = np.asarray(res.ba)
-        self.vel = np.asarray(Rgw @ jnp.asarray(res.vel[-1]))
-        self.vel_t = self.vel_t * s
-        Rgw_np = np.asarray(Rgw)
-        self.kf_vel = {k: (Rgw_np @ v if v is not None else None)
-                       for k, v in self.kf_vel.items()}
-        self.imu_initialized = True
-        # Joint visual-inertial refinement of the init window — the
-        # FullInertialBA(its=100) the reference runs right after
-        # InitializeIMU (src/LocalMapping.cc:1593): the inertial-only
-        # estimate leaves large bias/scale residue that only the joint
-        # problem can resolve.
-        # NOTE: disabled pending weight tuning — with near-noiseless
-        # simulated IMU the whitened inertial terms dominate the joint
-        # cost 10:1 and pull poses off the visual map's self-consistency,
-        # which breaks guided tracking. Round 2: balance via proper
-        # visual whitening or staged vis_weight.
-        # self._viba_window(slots, jnp.asarray(Rgw), s, res)
-        # Re-linearize the keyframe preintegration accumulator.
+        vel_out = np.asarray(res.vel)
+        for i, s_kf in enumerate(slots):
+            self.kf_vel[s_kf] = Rgw_np @ vel_out[i]
+        self.vel = Rgw_np @ vel_out[-1]
+        if self.enable_viba:
+            self._local_inertial_ba(iters=10)
         from tpuslam.imu import preintegration as pre
         self.cur_preint = pre.init_state(jnp.asarray(self.bg),
                                          jnp.asarray(self.ba))
 
-    VIBA_K = 8  # static window size of the post-init VI refinement
+    VIBA_K = 8  # static window size of the VI window BA
 
-    def _viba_window(self, slots, Rgw, s_init, init_res):
-        """Visual-inertial BA over the init chain (VIBA1 analog).
-
-        Runs on the ALREADY-transformed (metric, gravity-aligned) map;
-        refines window poses, velocities, shared-ish biases and points
-        jointly, then writes everything back."""
+    def _local_inertial_ba(self, iters: int = 8):
+        """Sliding-window VI bundle adjustment over the temporal keyframe
+        chain (LocalInertialBA, /root/reference/src/Optimizer.cc:4504,
+        Nd-window via mPrevKF links; also the VIBA1/FullInertialBA role
+        right after IMU init, src/LocalMapping.cc:1593). Refines window
+        poses, velocities, biases and points jointly; writes back."""
         from tpuslam.solver import vi_ba
 
         K = self.VIBA_K
-        slots = slots[-K:]
+        # Consecutive tail of the keyframe chain whose inertial edges all
+        # exist (kf_preint[s] = preintegration from the previous KF to s).
+        slots = self._preint_tail(K)
         n = len(slots)
+        if n < 3:
+            return
         kf_ids = np.full((K,), -1, np.int32)
         kf_ids[:n] = slots
         kf_ids_j = jnp.asarray(kf_ids)
@@ -904,17 +1387,18 @@ class MonoTracker:
             self.ms, kf_ids_j, jnp.zeros((K,), bool), mp_ids, local,
             self.inv_sigma2_lut)
 
-        # Body states from the transformed map (body == camera).
-        Rwb = jnp.swapaxes(prob.kf_R, -1, -2)
-        pwb = -jnp.einsum("kij,kj->ki", Rwb, prob.kf_t)
-        # Velocities from the init result, rotated into the new (metric,
-        # gravity-aligned) world: v' = Rgw v. Pad rows replicate the last.
-        vel_new = np.asarray(init_res.vel) @ np.asarray(Rgw).T
+        # Body states from the map (through Tbc).
+        Rcb_j = jnp.asarray(self.Rcb)
+        tcb_j = jnp.asarray(self.tcb)
+        Rwb = jnp.einsum("kja,jb->kab", prob.kf_R, Rcb_j)   # R_cw^T Rcb
+        t_bw = jnp.einsum("ji,kj->ki", Rcb_j, prob.kf_t - tcb_j)
+        pwb = -jnp.einsum("kij,kj->ki", Rwb, t_bw)
         vel = np.zeros((K, 3), np.float32)
-        vel[:n] = vel_new[-n:]
+        for i, s_kf in enumerate(slots):
+            v = self.kf_vel.get(s_kf)
+            vel[i] = v if v is not None else self.vel
         fixed = np.ones((K,), bool)
         fixed[1:n] = False  # first row anchors the gauge
-
         preints = [self.kf_preint[s] for s in slots[1:]]
         pad_edges = K - 1 - len(preints)
         if pad_edges:
@@ -933,26 +1417,100 @@ class MonoTracker:
             obs_uv=prob.obs_uv, obs_mask=prob.obs_mask,
             obs_inv_sigma2=prob.obs_inv_sigma2,
             preint=stacked, edge_valid=jnp.asarray(edge_valid),
-            Rcb=jnp.eye(3, dtype=jnp.float32),
-            tcb=jnp.zeros(3, jnp.float32),
+            Rcb=Rcb_j,
+            tcb=tcb_j,
         )
-        walk_info = jnp.full((6,), 1.0 / 1e-3, jnp.float32)
         res = vi_ba.optimize_vi(
-            win, self.cam_params,
-            jnp.asarray([0.0, 0.0, -self.cfg.imu.gravity], jnp.float32),
-            walk_info, iters=10)
+            win, self.cam_params, self.gravity_w,
+            self.walk_info, iters=iters)
 
-        # Write back: poses (Tcw from body), points, bias/velocity.
-        R_cw = jnp.swapaxes(res.Rwb, -1, -2)
-        t_cw = -jnp.einsum("kij,kj->ki", R_cw, res.pwb)
+        # Write back: poses (Tcw from body), points, bias/velocities.
+        R_cw = jnp.einsum("ij,kaj->kia", Rcb_j, res.Rwb)
+        t_cw = tcb_j - jnp.einsum("kij,kj->ki", R_cw, res.pwb)
         keep = jnp.any(res.inlier, axis=0) | ~jnp.any(prob.obs_mask, axis=0)
+        if os.environ.get("TPUSLAM_VI_DEBUG"):
+            obs = jnp.any(prob.obs_mask, axis=0)
+            dp = jnp.linalg.norm(res.pwb[:n] - pwb[:n], axis=-1)
+            print(f"[viba-win] n={n} obs_pts={int(jnp.sum(obs))} "
+                  f"culled={int(jnp.sum(obs & ~keep))} "
+                  f"max|dp|={float(jnp.max(dp)):.4f} "
+                  f"inl_frac={float(jnp.sum(res.inlier) / jnp.maximum(jnp.sum(win.obs_mask), 1)):.3f}",
+                  flush=True)
         self.ms = mapstate.scatter_ba_result(
             self.ms, kf_ids_j, mp_ids, R_cw, t_cw, res.points, keep)
+        vel_out = np.asarray(res.vel)
+        for i, s_kf in enumerate(slots):
+            self.kf_vel[s_kf] = vel_out[i].copy()
         self.bg = np.asarray(res.bg[n - 1])
         self.ba = np.asarray(res.ba[n - 1])
-        self.vel = np.asarray(res.vel[n - 1])
+        self.vel = vel_out[n - 1]
         self.last_R = np.asarray(self.ms.kf_R[slots[-1]])
         self.last_t = np.asarray(self.ms.kf_t[slots[-1]])
+        self._map_updated = True
+
+    def _refine_pose_vi(self, R_np, t_np, assoc, feats):
+        """Frame VI pose optimization against the last keyframe (map just
+        updated) or the previous frame + its marginal prior (sliding
+        window of size one — the ConstraintPoseImu chain). Returns
+        (R_cw, t_cw, n_inliers) or None on failure/fallback."""
+        from tpuslam.solver import vi_ba
+
+        tcfg = self.cfg.tracking
+        X_w, vvalid, inv_s2 = _gather_vi_matches(
+            self.ms, assoc, feats, self.inv_sigma2_lut)
+        Rwb0, pwb0 = self._body_from_cam(R_np, t_np)
+        vel0 = (self._vel_pred if self._vel_pred is not None else self.vel)
+        Rcb_j = jnp.asarray(self.Rcb)
+        tcb_j = jnp.asarray(self.tcb)
+        args = (jnp.asarray(Rwb0), jnp.asarray(pwb0), jnp.asarray(vel0),
+                jnp.asarray(self.bg), jnp.asarray(self.ba))
+
+        use_last_kf = (self._map_updated or self.prior_H is None
+                       or self.body_state is None)
+        if use_last_kf:
+            slot = self.kf_slots[-1]
+            kfR, kfp = self._body_from_cam(np.asarray(self.ms.kf_R[slot]),
+                                           np.asarray(self.ms.kf_t[slot]))
+            kf_vel = self.kf_vel.get(slot)
+            if kf_vel is None:
+                kf_vel = self.vel
+            res = vi_ba.optimize_pose_vi(
+                *args,
+                jnp.asarray(kfR), jnp.asarray(kfp), jnp.asarray(kf_vel),
+                self.cur_preint, X_w, feats.uv, inv_s2, vvalid,
+                self.cam_params, Rcb_j, tcb_j, self.gravity_w,
+                self.walk_info)
+            prior_H = res.H
+        else:
+            if self.frame_preint is None:
+                return None
+            pR, pp = self.body_state
+            res = vi_ba.optimize_pose_vi_prior(
+                jnp.asarray(pR), jnp.asarray(pp), jnp.asarray(self.vel),
+                jnp.asarray(self.bg), jnp.asarray(self.ba),
+                jnp.asarray(self.prior_H),
+                *args,
+                self.frame_preint, X_w, feats.uv, inv_s2, vvalid,
+                self.cam_params, Rcb_j, tcb_j, self.gravity_w,
+                self.walk_info)
+            prior_H = res.H_marg
+        self._map_updated = False
+        n_vi = int(res.n_inliers)
+        if n_vi < tcfg.min_inliers_track:
+            # VI refinement diverged — keep the visual pose, break the
+            # marginal chain (next frame re-anchors on the keyframe).
+            self.prior_H = None
+            self.body_state = None
+            return None
+        Rwb_np = np.asarray(res.Rwb)
+        pwb_np = np.asarray(res.pwb)
+        R2, t2 = self._cam_from_body(Rwb_np, pwb_np)
+        self.vel = np.asarray(res.vel)
+        self.bg = np.asarray(res.bg)
+        self.ba = np.asarray(res.ba)
+        self.prior_H = np.asarray(prior_H)
+        self.body_state = (Rwb_np, pwb_np)
+        return R2, t2, n_vi
 
     def _track(self, feats: FrameFeatures) -> FrameResult:
         tcfg = self.cfg.tracking
@@ -982,6 +1540,7 @@ class MonoTracker:
                 self.ms.mp_dist_max[safe],
                 feats, self.cam_params, self.scale_lut, self.inv_sigma2_lut,
                 self.img_wh, sched=sched,
+                level_widen=(self.cfg.sensor == "imu_mono"),
             )
             n_inl = int(n_inl)
         if not self.frozen:
@@ -990,17 +1549,35 @@ class MonoTracker:
 
         if n_inl < tcfg.min_inliers_track:
             self.state = "LOST"
+            if self.cfg.sensor == "imu_mono":
+                self.prior_H = None     # the marginal chain is broken
+                self.body_state = None
             return FrameResult("LOST", self.last_R, self.last_t, n_inl)
 
         R_np, t_np = np.asarray(R), np.asarray(t)
+        vi_applied = False
+        if (self.cfg.sensor == "imu_mono" and self.imu_initialized
+                and self.enable_pose_vi):
+            # Live VI pose refinement on the frame's associations
+            # (PoseInertialOptimizationLastKeyFrame/LastFrame,
+            # Optimizer.cc:7608/8009 — called from TrackLocalMap,
+            # src/Tracking.cc:3035-3041).
+            with self.timer.stage("pose_vi"):
+                out = self._refine_pose_vi(R_np, t_np, assoc, feats)
+            if out is not None:
+                R_np, t_np, n_vi = out
+                n_inl = max(n_inl, n_vi)
+                vi_applied = True
         # Velocity (camera-from-camera relative motion).
         self.vel_R = R_np @ self.last_R.T
         self.vel_t = t_np - self.vel_R @ self.last_t
-        if self.cfg.sensor == "imu_mono":
+        if self.cfg.sensor == "imu_mono" and not vi_applied:
             # World-velocity estimate from the OPTIMIZED poses (finite
             # difference): the IMU-propagated velocity is never corrected
             # by vision and its error integrates (bias/gravity residuals)
             # until guided search misses — the classic VIO failure.
+            # (Once the VI optimizer runs, its velocity IS vision-
+            # corrected and replaces this.)
             c_prev = -self.last_R.T @ self.last_t
             c_now = -R_np.T @ t_np
             self.vel = ((c_now - c_prev) * self.cfg.camera.fps
@@ -1038,7 +1615,15 @@ class MonoTracker:
             self.inv_sigma2_lut, self.cam_params, iters=iters)
 
     def _need_keyframe(self, n_inl: int) -> bool:
-        """NeedNewKeyFrame rules c1a/c2 (src/Tracking.cc:3227-3240)."""
+        """NeedNewKeyFrame (src/Tracking.cc:3140-3270): ratio condition
+        c2 against the reference KF's multi-observed point count, plus
+        the inertial time-force c3 and weak-tracking c4. The reference's
+        c1b idles on the mapping thread; the synchronous pipeline's
+        analog is a minimum frame gap (kf_min_interval), which also
+        keeps adjacent-keyframe baselines wide enough for conditioned
+        triangulation (measured: 1-frame KF cadence gives ~1 deg
+        relative-rotation noise that inertial init then absorbs as a
+        fake gyro bias ~40x the true one)."""
         tcfg = self.cfg.tracking
         if self.frozen:
             # Localization-only mode never spawns keyframes
@@ -1047,11 +1632,22 @@ class MonoTracker:
         if (not self.free_kf_slots
                 and self.n_kf >= self.cfg.map.max_keyframes):
             return False
+        imu = self.cfg.sensor == "imu_mono"
+        # c3: inertial keyframe cadence — force one every 0.5 s so the
+        # preintegration chain's covariance stays small
+        # (src/Tracking.cc:3246-3252).
+        if imu and self.frames_since_kf >= int(0.5 * self.cfg.camera.fps):
+            return True
+        # c4: weak-but-alive inertial tracking inserts aggressively
+        # (src/Tracking.cc:3259).
+        if (imu and 15 < n_inl < 75
+                and self.frames_since_kf >= 1):
+            return True
         if n_inl < 15:
             return False
         c1a = self.frames_since_kf >= tcfg.kf_max_interval
         c2 = (n_inl < tcfg.kf_ref_ratio * self.ref_tracked
-              and self.frames_since_kf >= 1)
+              and self.frames_since_kf >= tcfg.kf_min_interval)
         return c1a or c2
 
     def _alloc_kf_slot(self) -> Optional[int]:
@@ -1083,7 +1679,6 @@ class MonoTracker:
         self.kf_slots.append(slot)
         self._win_cache_key = None
         self.frames_since_kf = 0
-        self.ref_tracked = max(n_inl, 1)
 
         if self.cfg.sensor == "imu_mono" and self.cur_preint is not None:
             from tpuslam.imu import preintegration as pre
@@ -1099,6 +1694,8 @@ class MonoTracker:
                                              jnp.asarray(self.ba))
             if not self.imu_initialized:
                 self._try_imu_init()
+            else:
+                self._imu_stage_ladder()
 
         # Triangulate vs up to 2 previous keyframes. (Adding a third,
         # older partner was measured WORSE on the 120-frame fixture:
@@ -1123,37 +1720,67 @@ class MonoTracker:
                 self.ms = _fuse_into_kf(
                     self.ms, s, fuse_ids, self.cam_params, self.scale_lut,
                     self.inv_sigma2_lut, self.img_wh,
+                    level_widen=(self.cfg.sensor == "imu_mono"),
                 )
 
-        # Local BA on the temporal window.
+        # Local BA: visual on the covisibility window, or the joint VI
+        # window once the IMU is initialized (LocalMapping::Run picks
+        # LocalInertialBA over LocalBundleAdjustment the same way,
+        # src/LocalMapping.cc:179/186).
         with self.timer.stage("local_ba"):
-            kf_ids, fixed, mp_ids, local = self._window()
-            self.ms, chi2 = _run_local_ba(
-                self.ms, kf_ids, fixed, mp_ids, local,
-                self.inv_sigma2_lut, self.cam_params,
-                iters=self.cfg.solver.ba_iters,
-            )
+            if (self.cfg.sensor == "imu_mono" and self.imu_initialized
+                    and self.enable_viba):
+                self._local_inertial_ba(iters=self.cfg.solver.ba_iters)
+                chi2 = 0.0
+            else:
+                kf_ids, fixed, mp_ids, local = self._window()
+                self.ms, chi2 = _run_local_ba(
+                    self.ms, kf_ids, fixed, mp_ids, local,
+                    self.inv_sigma2_lut, self.cam_params,
+                    iters=self.cfg.solver.ba_iters,
+                )
         # Map-point hygiene over the refined window: distinctive
         # descriptors + viewing normals + scale ranges
         # (ComputeDistinctiveDescriptors / UpdateNormalAndDepth,
         # src/MapPoint.cc:350/467 — refreshed in SearchInNeighbors,
         # src/LocalMapping.cc:1060).
-        with self.timer.stage("hygiene"):
-            kf_ids, _, mp_ids, local = self._window()
-            self.ms = mapstate.refresh_point_hygiene(
-                self.ms, kf_ids, mp_ids, local, self.scale_lut)
+        if _HYGIENE:
+            with self.timer.stage("hygiene"):
+                kf_ids, _, mp_ids, local = self._window()
+                self.ms = mapstate.refresh_point_hygiene(
+                    self.ms, kf_ids, mp_ids, local, self.scale_lut)
 
         # Found-ratio culling (MapPointCulling analog).
         with self.timer.stage("culling"):
             self.ms = mapstate.cull_points(
                 self.ms, self.cfg.map.cull_found_ratio, min_visible=8)
             # Keyframe culling (LocalMapping::KeyFrameCulling, th 0.9):
-            # check the 3rd-newest keyframe once the window is warm.
-            # Skipped in inertial mode for now — culling must merge the
-            # temporal preintegration chain (LocalMapping.cc:1282).
-            if (self.cfg.sensor == "mono" and len(self.kf_slots) > 6):
+            # check the 3rd-newest keyframe once the window is warm. In
+            # inertial mode the culled keyframe's preintegration is merged
+            # into its successor so the temporal IMU chain stays intact
+            # (src/LocalMapping.cc:1282-1287).
+            if len(self.kf_slots) > 6:
                 cand = self.kf_slots[-3]
-                if float(mapstate.keyframe_redundancy(self.ms, cand)) > 0.9:
+                cullable = True
+                if self.cfg.sensor == "imu_mono":
+                    idx = self.kf_slots.index(cand)
+                    nxt = self.kf_slots[idx + 1]
+                    cullable = (self.imu_initialized
+                                and cand in self.kf_preint
+                                and nxt in self.kf_preint
+                                # keep the chain's time steps short: the
+                                # reference only culls if dt stays < 0.5 s
+                                and float(self.kf_preint[cand].dT
+                                          + self.kf_preint[nxt].dT) < 0.5)
+                if cullable and float(
+                        mapstate.keyframe_redundancy(self.ms, cand)) > 0.9:
+                    if self.cfg.sensor == "imu_mono":
+                        from tpuslam.imu import preintegration as pre
+                        idx = self.kf_slots.index(cand)
+                        nxt = self.kf_slots[idx + 1]
+                        self.kf_preint[nxt] = pre.merge(
+                            self.kf_preint[cand], self.kf_preint[nxt],
+                            self._nga, self._walk)
                     self.ms = mapstate.cull_keyframe(self.ms, cand)
                     self.kf_slots.remove(cand)
                     self.free_kf_slots.append(cand)
@@ -1164,6 +1791,18 @@ class MonoTracker:
                     # descriptors keep winning loop/reloc candidacy.
                     self.loop.db = retrieval.unmark_keyframe(self.loop.db,
                                                              cand)
+
+        # Reference tracked-point count for the KF-insertion ratio gate:
+        # the new keyframe's multi-observed map points
+        # (KeyFrame::TrackedMapPoints(minObs), used by NeedNewKeyFrame,
+        # src/Tracking.cc:3185). Measured failure mode of the previous
+        # "inliers at creation time" baseline: each KF fires exactly at
+        # ratio*prev, so the threshold decays geometrically (100 -> 95
+        # -> ... -> 25) until the tracker runs at the 15-inlier cliff
+        # and one bad frame kills it.
+        min_obs = 3 if len(self.kf_slots) > 2 else 2
+        self.ref_tracked = max(
+            int(mapstate.kf_tracked_points(self.ms, slot, min_obs)), 1)
 
         # Loop closing (LoopClosing::Run per-keyframe logic).
         if self.enable_loop_closing:
@@ -1191,7 +1830,31 @@ class MonoTracker:
                         self.vel_R = np.eye(3, dtype=np.float32)
                         self.vel_t = np.zeros(3, np.float32)
                         self.n_loops_closed += 1
+            # Cross-map place recognition: the same new keyframe is also
+            # scored against every archived map; a stable verified hit
+            # triggers the weld (NewDetectCommonRegions' merge branch,
+            # /root/reference/src/LoopClosing.cc:430-443).
+            if self.atlas is not None and self.atlas.n_maps:
+                with self.timer.stage("merge_detect"):
+                    mcand = loop_closing.detect_merge(
+                        self.loop, self.ms, slot, self.atlas)
+                if mcand is not None:
+                    mi, mkf = mcand
+                    self.key, sub = jax.random.split(self.key)
+                    with self.timer.stage("merge"):
+                        ok, s_m, R_m, t_m = loop_closing.verify_loop(
+                            self.ms, slot, mkf, self.cam_params, sub,
+                            ms_cand=self.atlas.maps[mi].ms)
+                        if ok and self._merge_maps(mi, mkf, slot,
+                                                   s_m, R_m, t_m):
+                            self.n_merges += 1
 
+        if self.cfg.sensor == "imu_mono":
+            # The keyframe superstep moved poses/points: the next frame
+            # re-anchors VI optimization on this keyframe
+            # (mbMapUpdated -> LastKeyFrame variant, Tracking.cc:3035).
+            self._map_updated = True
         self.stats = {"kf": len(self.kf_slots), "mp": self.n_mp,
                       "ba_chi2": float(chi2),
-                      "loops": self.n_loops_closed}
+                      "loops": self.n_loops_closed,
+                      "merges": self.n_merges}
