@@ -1,4 +1,4 @@
-"""Benchmark: fused monocular tracking-step throughput on the TPU.
+"""Benchmark: amortized monocular SLAM throughput on the TPU.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
@@ -8,11 +8,18 @@ The reference's real-time budget is the dataset rate — EuRoC 20 fps,
 mono_euroc.cc:124-132, BASELINE.md). vs_baseline = achieved fps / 20,
 so 5.0 == the BASELINE.json north-star of 5x real time on one chip.
 
-The whole per-frame pipeline (pyramid + FAST + NMS + top-k + moments +
-blur + BRIEF + guided map matching + 2x masked-GN pose optimization)
-runs as ONE jitted program; frames are pre-staged on device and iterated
-with lax.scan so the measurement is device throughput, not host/tunnel
-round-trips.
+Headline metric: AMORTIZED frames/s of the full pipeline — the fused
+per-frame tracking step plus the keyframe superstep (triangulation,
+fuse, local BA, hygiene, culling) amortized at the measured keyframe
+cadence. All timings are DEVICE time: the per-frame step runs as one
+jitted lax.scan over pre-staged frames; superstep kernels are timed
+with varied inputs + scalar fetch, with the measured per-dispatch
+tunnel overhead subtracted (this container reaches the chip through a
+stdio tunnel with ~30 ms/dispatch that no co-located production host
+pays; `detail.dispatch_overhead_ms` records what was subtracted).
+
+Also reported (BASELINE.md requirements): local-BA ms per keyframe,
+matching-kernel roofline utilization, compile time.
 """
 
 from __future__ import annotations
@@ -22,12 +29,65 @@ import json
 import time
 
 
+def _build_map(world, poses, cfg, n_kf, n_feat, n_mp):
+    """Synthetic but realistically-shaped MapState: keyframes on the
+    orbit observing projected world points (shapes and sparsity match a
+    live map; only timing uses this)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuslam.datasets import synthetic
+    from tpuslam.mapping import mapstate
+
+    rng = np.random.default_rng(0)
+    ms = mapstate.empty(cfg.map.max_keyframes, cfg.map.max_points, n_feat)
+    P = min(n_mp, world.points.shape[0])
+    mp_pos = np.zeros((cfg.map.max_points, 3), np.float32)
+    mp_pos[:P] = world.points[:P]
+    desc = rng.integers(0, 2**32, size=(cfg.map.max_points, 8),
+                        dtype=np.uint64).astype(np.uint32)
+    ms = ms._replace(
+        mp_pos=jnp.asarray(mp_pos),
+        mp_valid=jnp.asarray(np.arange(cfg.map.max_points) < P),
+        mp_desc=jnp.asarray(desc),
+        mp_dist_max=jnp.full((cfg.map.max_points,), 12.0, jnp.float32),
+        mp_dist_min=jnp.full((cfg.map.max_points,), 2.0, jnp.float32),
+    )
+    step = max(1, len(poses) // n_kf)
+    for k in range(n_kf):
+        R, t = poses[(k * step) % len(poses)]
+        uv, z, ok = synthetic.project(world, R, t)
+        ok = ok[:P] if P <= ok.shape[0] else ok
+        kp = np.zeros((n_feat, 2), np.float32)
+        lvl = np.zeros((n_feat,), np.int32)
+        obs = np.full((n_feat,), -1, np.int32)
+        idx = np.nonzero(ok)[0][:n_feat]
+        kp[: len(idx)] = uv[idx] + rng.normal(0, 0.5, (len(idx), 2))
+        obs[: len(idx)] = idx
+        valid = np.arange(n_feat) < len(idx)
+        ms = ms._replace(
+            kf_R=ms.kf_R.at[k].set(jnp.asarray(R.astype(np.float32))),
+            kf_t=ms.kf_t.at[k].set(jnp.asarray(t.astype(np.float32))),
+            kf_valid=ms.kf_valid.at[k].set(True),
+            kf_uv=ms.kf_uv.at[k].set(jnp.asarray(kp)),
+            kf_level=ms.kf_level.at[k].set(jnp.asarray(lvl)),
+            kf_desc=ms.kf_desc.at[k].set(ms.mp_desc[jnp.asarray(
+                np.where(obs >= 0, obs, 0))]),
+            kf_kp_valid=ms.kf_kp_valid.at[k].set(jnp.asarray(valid)),
+            kf_obs_mp=ms.kf_obs_mp.at[k].set(jnp.asarray(obs)),
+        )
+    return ms
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=16,
                    help="distinct staged frames (cycled)")
     p.add_argument("--reps", type=int, default=4, help="timed scan passes")
     p.add_argument("--features", type=int, default=1024)
+    p.add_argument("--kf-every", type=float, default=3.2,
+                   help="frames per keyframe (measured cadence of the "
+                        "ratio-gated policy on synthetic orbit runs)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -44,57 +104,181 @@ def main():
     from tpuslam.datasets import synthetic
     from tpuslam.tracking import step as trackstep
 
+    t_bench0 = time.perf_counter()
     h, w = 480, 752  # EuRoC frame size
-    world = synthetic.make_world(n_points=500, h=h, w=w, fx=458.0, seed=0)
+    world = synthetic.make_world(n_points=6000, h=h, w=w, fx=458.0, seed=0,
+                                 extent=(16.0, 16.0, 8.0))
     cfg = SLAMConfig(
         camera=CameraConfig(width=w, height=h, fx=458.0, fy=458.0,
                             cx=w / 2.0, cy=h / 2.0),
         orb=ORBConfig(n_features=args.features),
     )
 
-    # Stage frames along an orbit.
-    poses = synthetic.orbit_trajectory(args.frames)
-    imgs = np.stack([synthetic.render(world, R, t) for R, t in poses])
-    imgs = jnp.asarray(imgs, jnp.float32)
+    # ---- per-dispatch overhead (tunnel round-trip on a no-op) ----
+    probes = [jnp.full((8,), float(i)) for i in range(11)]
+    jax.block_until_ready(probes)
+    float(jnp.sum(probes[0]))  # warm the tiny-sum executable
+    t0 = time.perf_counter()
+    for pr in probes[1:]:
+        float(jnp.sum(pr))
+    dispatch_ms = 1e3 * (time.perf_counter() - t0) / 10
 
+    def scan_timed(body_fn, variants, reps_scale=1.0):
+        """Honest device ms/call: lax.scan over pre-staged input
+        variants inside ONE jitted program; the final scalar fetch is
+        the only host round trip (the tunnel's block_until_ready can
+        return early on queued work — a reduced scalar cannot)."""
+        stacked = jnp.stack(variants)
+
+        @jax.jit
+        def run(stacked):
+            def body(c, x):
+                out = body_fn(x)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                return c + jnp.sum(leaf).astype(jnp.float32), 0.0
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), stacked)
+            return c
+        float(run(stacked))  # compile + warm
+        t0 = time.perf_counter()
+        float(run(stacked))
+        total_ms = 1e3 * (time.perf_counter() - t0)
+        return max((total_ms - dispatch_ms) / len(variants), 0.0)
+
+    # ---- 1) fused tracking step over staged frames (in-jit scan) ----
+    poses = synthetic.orbit_trajectory(args.frames, radius=12.0)
+    imgs = jnp.asarray(np.stack(
+        [synthetic.render(world, R, t) for R, t in poses]), jnp.float32)
     step = trackstep.make_tracking_step(cfg)
     ex = trackstep.example_args(cfg, n_map_points=2048)
-    _, R0, t0, mp_ids, mp_pos, mp_desc, mp_level, mp_ok = ex
+    _, R0, t0p, mp_ids, mp_pos, mp_desc, mp_level, mp_ok = ex
 
     @jax.jit
-    def scan_frames(imgs, R0, t0):
+    def scan_frames(imgs, R0, t0p):
         def body(carry, img):
             R, t = carry
             out = step(img, R, t, mp_ids, mp_pos, mp_desc, mp_level, mp_ok)
             return (out.R, out.t), out.n_inliers
-        (_, _), ninl = jax.lax.scan(body, (R0, t0), imgs)
+        (_, _), ninl = jax.lax.scan(body, (R0, t0p), imgs)
         return ninl
 
-    # Warmup / compile.
     t0c = time.perf_counter()
-    jax.block_until_ready(scan_frames(imgs, R0, t0))
-    compile_s = time.perf_counter() - t0c
-
+    jax.block_until_ready(scan_frames(imgs, R0, t0p))
+    compile_track_s = time.perf_counter() - t0c
     times = []
     for _ in range(args.reps):
         t0t = time.perf_counter()
-        jax.block_until_ready(scan_frames(imgs, R0, t0))
+        jax.block_until_ready(scan_frames(imgs, R0, t0p))
         times.append(time.perf_counter() - t0t)
-    best = min(times)
-    ms_per_frame = 1e3 * best / args.frames
-    fps = args.frames / best
+    track_ms = 1e3 * min(times) / args.frames
+    step_fps = 1e3 / track_ms
+
+    # ---- 2) keyframe-superstep kernels on a realistic map ----
+    from tpuslam.mapping import mapstate
+    from tpuslam.tracking import tracker as trk
+
+    n_feat = args.features
+    W = cfg.map.local_window + cfg.map.local_fixed
+    ms_map = _build_map(world, poses, cfg, n_kf=W + 2, n_feat=n_feat,
+                        n_mp=6000)
+    sf = np.asarray(jnp.asarray(
+        [cfg.orb.scale_factor ** i for i in range(cfg.orb.n_levels)]))
+    scale_lut = jnp.asarray(sf, jnp.float32)
+    sigma2_lut = scale_lut * scale_lut
+    inv_sigma2 = 1.0 / sigma2_lut
+    cam_params = jnp.asarray(cfg.camera.params, jnp.float32)
+    img_wh = jnp.asarray([w, h], jnp.float32)
+    kf_ids = jnp.asarray(np.arange(W, dtype=np.int32))
+    fixed = jnp.asarray(np.arange(W) >= cfg.map.local_window)
+
+    t0c = time.perf_counter()
+    mp_ids_w, local = mapstate.local_point_ids(ms_map, kf_ids,
+                                               cap=cfg.map.ba_point_cap)
+    kf_t_vars = [ms_map.kf_t + 1e-4 * i for i in range(1, 4)]
+    jax.block_until_ready(kf_t_vars)
+
+    ba_ms = scan_timed(
+        lambda kt: trk._run_local_ba(
+            ms_map._replace(kf_t=kt), kf_ids, fixed, mp_ids_w, local,
+            inv_sigma2, cam_params, iters=cfg.solver.ba_iters),
+        kf_t_vars)
+
+    tri_ms = scan_timed(
+        lambda kt: trk._triangulate_between(
+            ms_map._replace(kf_t=kt), jnp.int32(W - 2), jnp.int32(W - 1),
+            jnp.int32(6000), cam_params, sigma2_lut,
+            ms_map.mp_pos[:cfg.map.ba_point_cap],
+            ms_map.mp_valid[:cfg.map.ba_point_cap],
+            focal=float(cfg.camera.fx))[0].mp_pos,
+        kf_t_vars)
+
+    fuse_ms = scan_timed(
+        lambda kt: trk._fuse_into_kf(
+            ms_map._replace(kf_t=kt), jnp.int32(W - 1), mp_ids_w,
+            cam_params, scale_lut, inv_sigma2, img_wh).kf_obs_mp,
+        kf_t_vars)
+
+    hyg_ms = scan_timed(
+        lambda kt: mapstate.refresh_point_hygiene(
+            ms_map._replace(kf_t=kt), kf_ids, mp_ids_w, local,
+            scale_lut).mp_normal,
+        kf_t_vars)
+
+    vis_vars = [ms_map.mp_visible + i for i in range(1, 4)]
+    cull_ms = scan_timed(
+        lambda mv: mapstate.cull_points(
+            ms_map._replace(mp_visible=mv), cfg.map.cull_found_ratio,
+            min_visible=8).mp_valid,
+        vis_vars)
+    compile_kf_s = max(
+        time.perf_counter() - t0c
+        - 6e-3 * (ba_ms + tri_ms + fuse_ms + hyg_ms + cull_ms), 0.0)
+
+    kf_ms = ba_ms + 2 * tri_ms + fuse_ms + hyg_ms + cull_ms
+    amort_ms = track_ms + kf_ms / args.kf_every
+    amort_fps = 1e3 / amort_ms
+
+    # ---- 3) matching-kernel roofline (bit-matmul Hamming) ----
+    from tpuslam.frontend import matching
+    da = jnp.asarray(np.random.default_rng(0).integers(
+        0, 2**32, size=(1024, 8), dtype=np.uint64).astype(np.uint32))
+    db = jnp.asarray(np.random.default_rng(1).integers(
+        0, 2**32, size=(4096, 8), dtype=np.uint64).astype(np.uint32))
+
+    ham_vars = [jnp.roll(da, i, axis=0) for i in range(1, 21)]
+    jax.block_until_ready(ham_vars)
+    ham_ms = scan_timed(lambda a: matching.hamming_matrix(a, db), ham_vars)
+    # one (1024,256)x(256,4096) MAC pass over unpacked bits
+    ham_flops = 2.0 * 1024 * 4096 * 256
+    ham_tflops = ham_flops / max(ham_ms, 1e-6) / 1e9
+    peak_tflops = 197.0 if not args.cpu else float("nan")  # v5e bf16
 
     print(json.dumps({
-        "metric": "mono_tracking_step_fps",
-        "value": round(fps, 2),
+        "metric": "mono_amortized_fps",
+        "value": round(amort_fps, 2),
         "unit": "frames/s/chip",
-        "vs_baseline": round(fps / 20.0, 3),
+        "vs_baseline": round(amort_fps / 20.0, 3),
         "detail": {
-            "ms_per_frame": round(ms_per_frame, 3),
+            "tracking_step_ms": round(track_ms, 3),
+            "tracking_step_fps": round(step_fps, 2),
+            "kf_superstep_ms": round(kf_ms, 2),
+            "kf_every_frames": args.kf_every,
+            "local_ba_ms_per_kf": round(ba_ms, 2),
+            "triangulate_ms": round(tri_ms, 2),
+            "fuse_ms": round(fuse_ms, 2),
+            "hygiene_ms": round(hyg_ms, 2),
+            "cull_ms": round(cull_ms, 2),
+            "ba_window": f"{cfg.map.local_window}+{cfg.map.local_fixed}kf"
+                         f"/{cfg.map.ba_point_cap}pt",
+            "hamming_1024x4096_ms": round(ham_ms, 3),
+            "matching_tflops": round(ham_tflops, 2),
+            "matching_roofline_frac": (round(ham_tflops / peak_tflops, 3)
+                                       if peak_tflops == peak_tflops
+                                       else None),
+            "dispatch_overhead_ms": round(dispatch_ms, 2),
+            "compile_s": round(compile_track_s + max(compile_kf_s, 0.0), 1),
+            "bench_wall_s": round(time.perf_counter() - t_bench0, 1),
             "features": args.features,
-            "map_points": 2048,
             "frame": f"{w}x{h}",
-            "compile_s": round(compile_s, 1),
             "device": str(jax.devices()[0]),
         },
     }))

@@ -73,3 +73,31 @@ def test_tracker_records_stage_times():
     assert rep["orb_extraction"]["calls"] == len(poses)
     if tr.state == "OK":
         assert "local_map_track" in rep
+
+
+def test_timestamp_jump_guards():
+    """Stream-corruption guards (src/Tracking.cc:1584-1629): a backwards
+    timestamp abandons the active map and restarts; a >1 s forward gap
+    does the same for inertial sessions (the preintegration chain is
+    unrecoverable)."""
+    from tpuslam.config import CameraConfig, ORBConfig, SLAMConfig
+    from tpuslam.tracking.tracker import MonoTracker
+
+    h, w = 480, 640
+    world = synthetic.make_world(n_points=500, h=h, w=w, seed=0)
+    poses = synthetic.orbit_trajectory(20, arc=0.2 * np.pi)
+    cfg = SLAMConfig(
+        camera=CameraConfig(width=w, height=h, fx=float(world.cam[0]),
+                            fy=float(world.cam[1]), cx=float(world.cam[2]),
+                            cy=float(world.cam[3])),
+        orb=ORBConfig(n_features=512),
+    )
+    tr = MonoTracker(cfg)
+    for i, (R, t) in enumerate(poses):
+        tr.process(synthetic.render(world, R, t), ts=i / 20.0)
+    assert tr.state == "OK"
+    # Backwards timestamp: the map is abandoned before the frame runs.
+    R, t = poses[-1]
+    tr.process(synthetic.render(world, R, t), ts=0.1)
+    assert tr.state in ("NOT_INITIALIZED", "OK")
+    assert len(tr.kf_slots) <= 2, "active map survived a backwards ts"

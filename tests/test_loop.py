@@ -121,6 +121,62 @@ def test_pose_graph_closes_loop(rng):
     assert np.all(np.abs(s_fin - 1.0) < 0.05)
 
 
+def test_pose_graph_4dof_yaw_only(rng):
+    """Inertial (4-DoF) essential graph (OptimizeEssentialGraph4DoF,
+    /root/reference/src/Optimizer.cc:8520): yaw+translation drift on a
+    circle is corrected, while every state's gravity direction
+    (pitch/roll) is EXACTLY preserved — the defining invariant of the
+    yaw-only parameterization."""
+    K = 30
+    g_w = np.array([0.0, 0.0, -9.81], np.float32)
+    Rt, tt = [], []
+    for k in range(K):
+        a = 2 * np.pi * k / K
+        # small static pitch so gravity is NOT trivially axis-aligned
+        # with the state frames
+        R = np.asarray(lie.so3_exp(jnp.asarray([0.12, 0, a], jnp.float32)))
+        c = np.array([np.cos(a), np.sin(a), 0], np.float32) * 5
+        Rt.append(R)
+        tt.append(-R @ c)
+    Rt, tt = np.stack(Rt), np.stack(tt)
+
+    Rd, td = Rt.copy(), tt.copy()
+    yaw_drift = np.asarray(lie.so3_exp(jnp.asarray([0, 0, 0.012],
+                                                   jnp.float32)))
+    acc_R, acc_t = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+    for k in range(1, K):
+        acc_R = acc_R @ yaw_drift
+        acc_t = acc_t + np.array([0.012, 0.006, 0], np.float32)
+        Rd[k] = Rt[k] @ acc_R
+        td[k] = tt[k] + acc_t
+
+    ei = np.append(np.arange(K - 1), 0)
+    ej = np.append(np.arange(1, K), K - 1)
+    R_m = np.stack([Rt[i] @ Rt[j].T for i, j in zip(ei, ej)])
+    t_m = np.stack([tt[i] - Rm @ tt[j]
+                    for i, j, Rm in zip(ei, ej, R_m)])
+    E = len(ei)
+    fixed = np.zeros(K, bool)
+    fixed[0] = True
+    res = pose_graph.optimize_pose_graph(
+        jnp.ones(K, jnp.float32), jnp.asarray(Rd), jnp.asarray(td),
+        jnp.ones(K, bool), jnp.asarray(fixed),
+        jnp.asarray(ei, jnp.int32), jnp.asarray(ej, jnp.int32),
+        jnp.ones(E, jnp.float32), jnp.asarray(R_m), jnp.asarray(t_m),
+        jnp.ones(E, bool), jnp.ones(E, jnp.float32),
+        fix_scale=True, yaw_only=True, gravity_w=jnp.asarray(g_w),
+    )
+    err_before = np.linalg.norm(td[K - 1] - tt[K - 1])
+    err_after = np.linalg.norm(np.asarray(res.t[K - 1]) - tt[K - 1])
+    assert err_after < 0.1 * err_before, (err_before, err_after)
+    # Gravity direction in every state frame is untouched (updates
+    # rotate about a_k = R_k g, which fixes R_k g pointwise).
+    g_before = Rd @ (g_w / np.linalg.norm(g_w))
+    g_after = np.asarray(res.R) @ (g_w / np.linalg.norm(g_w))
+    np.testing.assert_allclose(g_after, g_before, atol=2e-4)
+    assert np.all(np.abs(np.asarray(res.s) - 1.0) < 1e-6)
+
+
 def test_retrieval_scores(rng):
     Kmax, N = 16, 256
     kf_desc = jnp.asarray(rng.integers(0, 2**32, size=(Kmax, N, 8),

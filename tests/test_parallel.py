@@ -98,3 +98,95 @@ def test_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_distributed_two_axis_mesh(rng):
+    """2-host (DCN-style) layout: landmarks sharded over a 2x4 mesh's
+    BOTH axes; the psum-reduced camera system must match single-device
+    (BASELINE.md's >=2-host scaling path, simulated on the CPU mesh)."""
+    devs = np.asarray(jax.devices("cpu")[:8]).reshape(2, 4)
+    axes = ("dcn", dist_ba.AXIS)
+    mesh2 = Mesh(devs, axes)
+    prob = make_problem(rng, K=4, M=512)
+    res_local = local_ba.optimize(prob, CAM, iters=6)
+    specs = dist_ba.problem_specs(axes)
+    prob_sharded = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh2, s)), prob, specs
+    )
+    res = dist_ba.distributed_optimize(prob_sharded, CAM, mesh2, axis=axes,
+                                       iters=6)
+    np.testing.assert_allclose(res.kf_t, res_local.kf_t, atol=2e-3)
+    assert abs(float(res.total_chi2) - float(res_local.total_chi2)) < \
+        0.05 * float(res_local.total_chi2) + 10.0
+
+
+def test_tracker_sharded_gba(rng, mesh):
+    """run_global_ba beyond the dense window routes through the
+    landmark-sharded engine and reduces reprojection error on a
+    perturbed map."""
+    from tpuslam.config import CameraConfig, ORBConfig, SLAMConfig
+    from tpuslam.geometry import lie
+    from tpuslam.mapping import mapstate
+    from tpuslam.tracking.tracker import MonoTracker
+
+    K, M, n_feat = 80, 2048, 64
+    cfg = SLAMConfig(
+        camera=CameraConfig(width=640, height=480, fx=450.0, fy=450.0,
+                            cx=320.0, cy=240.0),
+        orb=ORBConfig(n_features=n_feat),
+    )
+    tr = MonoTracker(cfg)
+    tr.GBA_WINDOW = 16            # force the sharded path at K=80
+    tr.GBA_SHARDED_CAP = 4096     # divisible by the 8-device mesh
+
+    X = rng.uniform([-6, -6, 6], [6, 6, 14], size=(M, 3)).astype(np.float32)
+    ms = tr.ms
+    ms = ms._replace(
+        mp_pos=ms.mp_pos.at[:M].set(
+            jnp.asarray(X + rng.normal(0, 0.05, X.shape).astype(np.float32))),
+        mp_valid=ms.mp_valid.at[:M].set(True),
+    )
+    for k in range(K):
+        w = rng.normal(size=3) * 0.01
+        R = np.asarray(lie.so3_exp(jnp.asarray(w, jnp.float32)))
+        t = np.array([0.05 * k, 0.0, 0.0], np.float32)
+        # Observations: project the TRUE points through the TRUE pose.
+        Xc = X @ R.T + t
+        uv = np.stack([450 * Xc[:, 0] / Xc[:, 2] + 320,
+                       450 * Xc[:, 1] / Xc[:, 2] + 240], 1)
+        sel = rng.choice(M, n_feat, replace=False)
+        obs = np.asarray(sel, np.int32)
+        kp = uv[sel] + rng.normal(0, 0.3, (n_feat, 2))
+        ms = ms._replace(
+            kf_R=ms.kf_R.at[k].set(jnp.asarray(R)),
+            kf_t=ms.kf_t.at[k].set(jnp.asarray(
+                t + rng.normal(0, 0.01, 3).astype(np.float32))),
+            kf_valid=ms.kf_valid.at[k].set(True),
+            kf_uv=ms.kf_uv.at[k].set(jnp.asarray(kp, jnp.float32)),
+            kf_kp_valid=ms.kf_kp_valid.at[k].set(True),
+            kf_obs_mp=ms.kf_obs_mp.at[k].set(jnp.asarray(obs)),
+        )
+    tr.ms = ms
+    tr.kf_slots = list(range(K))
+    tr.n_kf = K
+    tr.n_mp = M
+
+    def mean_err():
+        e = []
+        for k in range(0, K, 16):
+            Rk = np.asarray(tr.ms.kf_R[k])
+            tk = np.asarray(tr.ms.kf_t[k])
+            obs = np.asarray(tr.ms.kf_obs_mp[k])
+            P3 = np.asarray(tr.ms.mp_pos[obs])
+            Xc = P3 @ Rk.T + tk
+            uv = np.stack([450 * Xc[:, 0] / Xc[:, 2] + 320,
+                           450 * Xc[:, 1] / Xc[:, 2] + 240], 1)
+            e.append(np.linalg.norm(
+                uv - np.asarray(tr.ms.kf_uv[k]), axis=1).mean())
+        return float(np.mean(e))
+
+    before = mean_err()
+    tr.run_global_ba(iters=8)
+    after = mean_err()
+    assert "gba_sharded" in tr.timer.report(), "sharded path not taken"
+    assert after < 0.5 * before, (before, after)

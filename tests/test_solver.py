@@ -261,3 +261,62 @@ def test_ransac_pnp_recovers_pose(rng):
     np.testing.assert_allclose(np.asarray(res.t), t, atol=0.15)
     inl = np.asarray(res.inlier)
     assert inl[out].sum() <= 3
+
+
+def test_two_view_planar_homography(rng):
+    """Planar scene: the essential path is degenerate; model selection
+    must route through the homography (ReconstructH,
+    /root/reference/src/TwoViewReconstruction.cc:120,577)."""
+    n = 300
+    # Points on the z = 8 + 0.3x + 0.2y plane (strictly planar).
+    xy = rng.uniform(-4, 4, size=(n, 2)).astype(np.float32)
+    X = np.concatenate(
+        [xy, (8.0 + 0.3 * xy[:, :1] + 0.2 * xy[:, 1:2])], axis=1)
+    R1, t1 = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+    R2 = np.asarray(lie.so3_exp(jnp.asarray([0.03, -0.04, 0.02],
+                                            jnp.float32)))
+    t2 = np.array([-0.7, 0.15, 0.1], np.float32)
+
+    def bearings(R, t):
+        Xc = X @ R.T + t
+        return (Xc / Xc[:, 2:3]).astype(np.float32)
+
+    b1, b2 = bearings(R1, t1), bearings(R2, t2)
+    b1[:, :2] += rng.normal(0, 0.5 / FOCAL, (n, 2))
+    b2[:, :2] += rng.normal(0, 0.5 / FOCAL, (n, 2))
+    bad = rng.choice(n, 25, replace=False)
+    b2[bad, :2] += rng.uniform(0.05, 0.2, (25, 2))
+
+    res = two_view.reconstruct(
+        jnp.asarray(b1), jnp.asarray(b2), jnp.asarray(np.ones(n, bool)),
+        jax.random.PRNGKey(0), focal=FOCAL,
+    )
+    assert bool(res.used_h), "planar scene must select the homography"
+    assert bool(res.ok)
+    dR = np.asarray(res.R21) @ R2.T
+    ang = np.linalg.norm(np.asarray(lie.so3_log(jnp.asarray(dR,
+                                                            jnp.float32))))
+    assert ang < 0.02, ang
+    t_est = np.asarray(res.t21)
+    cos = abs(t_est @ t2 / np.linalg.norm(t2))
+    assert cos > 0.995, cos
+
+
+def test_two_view_general_scene_picks_essential(rng):
+    """Deep 3D scene must stay on the essential path."""
+    n = 300
+    X = rng.uniform([-4, -4, 5], [4, 4, 12], size=(n, 3)).astype(np.float32)
+    R2 = np.asarray(lie.so3_exp(jnp.asarray([0.02, -0.05, 0.01],
+                                            jnp.float32)))
+    t2 = np.array([-0.8, 0.1, 0.05], np.float32)
+    b1 = (X / X[:, 2:3]).astype(np.float32)
+    Xc = X @ R2.T + t2
+    b2 = (Xc / Xc[:, 2:3]).astype(np.float32)
+    b1[:, :2] += rng.normal(0, 0.5 / FOCAL, (n, 2))
+    b2[:, :2] += rng.normal(0, 0.5 / FOCAL, (n, 2))
+    res = two_view.reconstruct(
+        jnp.asarray(b1), jnp.asarray(b2), jnp.asarray(np.ones(n, bool)),
+        jax.random.PRNGKey(0), focal=FOCAL,
+    )
+    assert not bool(res.used_h)
+    assert bool(res.ok)

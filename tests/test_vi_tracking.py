@@ -2,20 +2,23 @@
 
 The decisive observable of IMU initialization is METRIC SCALE: after
 init, the estimated trajectory must match ground truth WITHOUT scale
-alignment (mono-only can never achieve this)."""
+alignment (mono-only can never achieve this). The same run also
+exercises the RECENTLY_LOST two-stage loss machine: a 10-frame blackout
+after init must be survived by IMU dead-reckoning and guided-tracking
+re-entry (PredictStateIMU -> TrackLocalMap,
+/root/reference/src/Tracking.cc:1800,1835-1874) — no Atlas reset."""
 
 import numpy as np
 import pytest
 
 from tpuslam.config import CameraConfig, IMUConfig, ORBConfig, SLAMConfig
-from tpuslam.datasets import synthetic
+from tpuslam.datasets import faults, synthetic
 from tpuslam.eval import ate
-from tpuslam.eval.ate import align_horn
 from tpuslam.system import System
 
 
-@pytest.mark.slow
-def test_mono_inertial_metric_scale():
+@pytest.fixture(scope="module")
+def vi_run():
     h, w = 480, 640
     n_frames = 140
     fps, freq = 20.0, 200.0
@@ -26,9 +29,22 @@ def test_mono_inertial_metric_scale():
     # enough that the gyro-bias estimate is not dominated by visual
     # rotation drift (measured: sparse worlds give bg errors ~40x the
     # injected bias).
+    # EuRoC ADIS16448 datasheet noise at 200 Hz (discrete sigma =
+    # density * sqrt(freq), Tracking.cc:945-951): gyro 1.7e-4*sqrt(200)
+    # ~= 2.4e-3 rad/s, acc 2.0e-3*sqrt(200) ~= 2.8e-2 m/s^2. Nontrivial
+    # body-from-camera extrinsics (10 deg tilt + 5 cm lever arm) so the
+    # Tbc chain through prediction/preintegration/init is exercised, not
+    # just the identity special case.
+    cth, sth = np.cos(np.deg2rad(10.0)), np.sin(np.deg2rad(10.0))
+    Tbc = np.array([[1, 0, 0, 0.05],
+                    [0, cth, -sth, -0.02],
+                    [0, sth, cth, 0.03],
+                    [0, 0, 0, 1]], np.float64)
     sim = synthetic.simulate_imu(
         n_frames, fps=fps, imu_freq=freq, arc=1.2 * np.pi, speed_mod=0.5,
         bias_gyro=(0.002, -0.001, 0.003),
+        noise_gyro=1.7e-4 * np.sqrt(freq), noise_acc=2.0e-3 * np.sqrt(freq),
+        Tbc=Tbc,
     )
     world = synthetic.make_world(n_points=900, h=h, w=w, seed=0)
     cfg = SLAMConfig(
@@ -36,21 +52,35 @@ def test_mono_inertial_metric_scale():
                             fy=float(world.cam[1]), cx=float(world.cam[2]),
                             cy=float(world.cam[3]), fps=fps),
         orb=ORBConfig(n_features=1024),
-        imu=IMUConfig(freq=freq),
+        # Ladder times shrunk to the short fixture (reference defaults
+        # assume minutes-long sequences; IMUConfig docstring): init lands
+        # ~2.9 s in, so VIBA1/VIBA2 must fire within the remaining 4 s
+        # for the scale to converge to metric.
+        imu=IMUConfig(freq=freq, Tbc=tuple(Tbc.reshape(-1).tolist()),
+                      viba1_t=1.0, viba2_t=2.0, scale_ref_interval=2.0),
         sensor="imu_mono",
     )
     sysm = System(cfg)
+    sched = faults.FaultSchedule.blackout(100, 10)
     dt = np.full((int(freq / fps),), 1.0 / freq, np.float32)
     init_frame = None
+    states = []
     for i, (R, t) in enumerate(sim["poses"]):
-        img = synthetic.render(world, R, t)
+        img = faults.apply_frame_fault(synthetic.render(world, R, t), i,
+                                       sched)
         imu = None
         if i > 0:
             imu = (sim["imu_gyro"][i - 1], sim["imu_acc"][i - 1], dt)
-        sysm.track_monocular_inertial(img, imu, timestamp=i / fps)
+        out = sysm.track_monocular_inertial(img, imu, timestamp=i / fps)
+        states.append(out.state)
         if init_frame is None and sysm.tracker.imu_initialized:
             init_frame = i
+    return sysm, sim, states, init_frame
 
+
+@pytest.mark.slow
+def test_mono_inertial_metric_scale(vi_run):
+    sysm, sim, states, init_frame = vi_run
     tr = sysm.tracker
     assert tr.state == "OK"
     assert tr.imu_initialized, "IMU never initialized"
@@ -59,17 +89,32 @@ def test_mono_inertial_metric_scale():
     # yaw/translation nearly degenerate; the strong first-init gyro
     # prior, ref InitializeIMU(1e2, 1e10), bounds the damage).
     assert np.all(np.abs(tr.bg) < 0.1)
-    assert tr.atlas.n_maps == 0, "tracking was lost and the map reset"
 
-    # Evaluate the POST-INIT segment only: frames before IMU init were
-    # recorded at the arbitrary visual scale (the reference's trajectory
-    # export rewrites them through updated keyframe poses — round 2).
-    est = tr.positions()[init_frame + 1:]
-    gt = np.stack([-R.T @ t for R, t in sim["poses"]])[init_frame + 1:]
+    # Evaluate the POST-INIT OK frames (pre-init frames carry the
+    # arbitrary visual scale in their reference keyframes' history).
+    ok = np.array([s == "OK" for s in states])
+    ok[: init_frame + 1] = False
+    est = np.stack(tr.positions())[ok]
+    gt = np.stack([-R.T @ t for R, t in sim["poses"]])[ok]
     res = ate.ate(gt, est)
     # Metric scale: Horn's optimal scale must be near 1 (mono-only runs
-    # on this fixture come out at scale ~6-9); the residual error
-    # reflects the coarse init — round-2 VIBA tuning tightens it.
+    # on this fixture come out at scale ~6); residual error reflects the
+    # coarse first init — the VIBA ladder tightens it on longer runs.
     assert 0.5 < res.scale < 2.0, f"scale {res.scale} not metric"
-    # Unscaled ATE bounded (drift still present, no loop closure here).
     assert res.rmse < 3.0, res.rmse
+
+
+@pytest.mark.slow
+def test_recently_lost_dead_reckoning(vi_run):
+    """The blackout frames must ride through RECENTLY_LOST (not LOST),
+    recover within a few frames of images returning, and never reset
+    the map into the Atlas."""
+    sysm, sim, states, init_frame = vi_run
+    tr = sysm.tracker
+    n_rl = sum(s == "RECENTLY_LOST" for s in states)
+    assert 8 <= n_rl <= 20, f"RECENTLY_LOST frames: {n_rl}"
+    assert "LOST" not in states, "dead-reckoning grace was not enough"
+    assert tr.atlas.n_maps == 0, "blackout reset the map"
+    # Recovery happened promptly after the blackout window [100, 110).
+    post = states[110:118]
+    assert "OK" in post, f"no recovery after blackout: {post}"

@@ -109,7 +109,10 @@ class SolverConfig:
     pose_iters: int = 10
     chi2_mono: float = 5.991        # Huber delta^2, 2-dof (Optimizer.cc:930)
     chi2_stereo: float = 7.815      # 3-dof (Optimizer.cc:931)
-    ba_iters: int = 10              # local BA LM iterations
+    ba_iters: int = 10              # local BA LM iterations (5 is ~2x
+                                    # cheaper but provably under-converges:
+                                    # +10x e2e drift on the 80-frame orbit
+                                    # gate — measured both ways)
     ba_lambda0: float = 1e-4        # initial LM damping
     dtype: str = "float32"
 
@@ -122,8 +125,13 @@ class MapConfig:
     max_keyframes: int = 512
     max_points: int = 32768
     local_window: int = 16          # KFs in the local-BA first ring (ref covisible set)
-    local_fixed: int = 8            # fixed anchor KFs (second ring)
-    ba_point_cap: int = 8192        # landmark capacity of one local-BA problem
+    local_fixed: int = 8            # fixed anchor KFs (second ring; 6 was
+                                    # measured +43% ATE on the 600-frame
+                                    # ring — anchors gauge the window)
+    ba_point_cap: int = 4096        # landmark capacity of one local-BA problem
+                                    # (4096 halves BA time vs 8192 with
+                                    # IDENTICAL ring-e2e ATE — isolated
+                                    # from the anchor count by ablation)
     covis_min_weight: int = 15      # covisibility edge threshold (KeyFrame.cc:449)
     cull_found_ratio: float = 0.25  # MapPointCulling (LocalMapping.cc:423-427)
     cull_min_obs: int = 3
@@ -136,14 +144,19 @@ class TrackingConfig:
     min_matches_motion: int = 20    # TrackWithMotionModel acceptance (Tracking.cc:2954)
     min_inliers_track: int = 10     # post pose-opt inliers to stay OK
     min_matches_local: int = 30     # TrackLocalMap success, pure visual (Tracking.cc:3093)
-    kf_min_interval: int = 0        # min frames between KFs
     kf_max_interval: int = 10       # force KF after this many frames (c1a analog)
     kf_min_interval: int = 3        # min frames between ratio-triggered KFs
                                     # (c1b mapping-idle backpressure analog)
+    async_mapping: bool = True      # defer the keyframe superstep's host
+                                    # commits to the next frame so tracking
+                                    # overlaps mapping (the reference's
+                                    # thread pipeline, SURVEY.md 2.4; the
+                                    # inertial path always commits inline)
+    time_recently_lost: float = 5.0  # IMU dead-reckoning grace period (s)
+                                     # (Tracking ctor, src/Tracking.cc:1800)
     kf_ref_ratio: float = 0.9       # insert KF if tracked < ratio * ref KF's
                                     # multi-observed points (c2, mono thRefRatio
                                     # 0.9, src/Tracking.cc:3227)
-    recently_lost_frames: int = 100 # ~5 s at 20 fps (time_recently_lost, Tracking.h:343)
     init_min_matches: int = 100     # monocular init needs this many matches (Tracking.cc:2457)
     init_min_tri: int = 50          # and this many triangulated points
 

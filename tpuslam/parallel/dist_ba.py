@@ -36,9 +36,13 @@ from tpuslam.solver.local_ba import BAProblem, BAResult
 AXIS = "mp"
 
 
-def problem_specs(axis: str = AXIS) -> BAProblem:
+def problem_specs(axis=AXIS) -> BAProblem:
     """PartitionSpecs: landmark-indexed arrays sharded, pose arrays
-    replicated."""
+    replicated. `axis` may be a tuple of mesh axes — the landmark
+    dimension then shards over their product (the 2-host layout:
+    ("dcn", "mp") splits landmarks across hosts over DCN and across
+    each host's chips over ICI; the psum-reduced camera system rides
+    the hierarchical all-reduce XLA emits for multi-axis psum)."""
     return BAProblem(
         kf_R=P(), kf_t=P(), kf_fixed=P(),
         points=P(axis), pt_valid=P(axis),
@@ -47,7 +51,7 @@ def problem_specs(axis: str = AXIS) -> BAProblem:
     )
 
 
-def result_specs(axis: str = AXIS) -> BAResult:
+def result_specs(axis=AXIS) -> BAResult:
     return BAResult(
         kf_R=P(), kf_t=P(), points=P(axis),
         chi2=P(None, axis), inlier=P(None, axis), total_chi2=P(),
@@ -58,12 +62,13 @@ def distributed_optimize(
     prob: BAProblem,
     cam_params,
     mesh: Mesh,
-    axis: str = AXIS,
+    axis=AXIS,
     model: str = "pinhole",
     iters: int = 10,
     **kw,
 ) -> BAResult:
-    """Landmark-sharded BA over `mesh[axis]`. M must divide the axis size."""
+    """Landmark-sharded BA over `mesh[axis]` (axis may be a tuple for
+    multi-axis / multi-host sharding). The axis sizes must divide M."""
 
     def _opt(p, cam):
         return local_ba.optimize(p, cam, model=model, iters=iters,

@@ -57,7 +57,8 @@ def _rel_residual(si, Ri, ti, sj, Rj, tj, s_m, R_m, t_m):
         lie.so3_log(R_e), t_e, jnp.log(s_e)[None]])
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "fix_scale"))
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "fix_scale", "yaw_only"))
 def optimize_pose_graph(
     s, R, t,             # (K,), (K,3,3), (K,3) current Sim3 states S_iw
     valid,               # (K,)
@@ -68,11 +69,33 @@ def optimize_pose_graph(
     edge_weight,         # (E,) information scale (loop edges > covis edges)
     iters: int = 12,
     fix_scale: bool = False,
+    yaw_only: bool = False,
+    gravity_w=None,      # (3,) world gravity direction (yaw_only mode)
 ) -> PoseGraphResult:
+    """`yaw_only=True` is the OptimizeEssentialGraph4DoF analog
+    (/root/reference/src/Optimizer.cc:8520, VertexPose4DoF/Edge4DoF):
+    for IMU-initialized maps pitch/roll are observable from gravity and
+    must NOT be bent by the pose graph — each state's rotation update is
+    projected onto the single world-gravity axis (expressed in the state
+    frame: a_i = R_i g_w, since a left tangent omega equals world axis
+    R_i^T omega), leaving yaw + translation (+pinned scale) free."""
     K = s.shape[0]
     dtype = t.dtype
     n = DOF7 * K
     free = (valid & ~fixed).astype(dtype)
+
+    if yaw_only:
+        g_unit = gravity_w / jnp.maximum(jnp.linalg.norm(gravity_w), 1e-12)
+
+    def tangent_projector(R_cur):
+        """Per-state 7x7 tangent projector M_k: rotation block a a^T
+        restricted to the gravity axis a_k = R_k g_w, translation
+        identity, scale handled by fix_scale's own masking."""
+        a = jnp.einsum("kij,j->ki", R_cur, g_unit)
+        M = jnp.zeros((K, DOF7, DOF7), dtype)
+        M = M.at[:, :3, :3].set(jnp.einsum("ki,kj->kij", a, a))
+        idx = jnp.arange(3, DOF7)
+        return M.at[:, idx, idx].set(1.0)
 
     def edge_res_jac(si, Ri, ti, sj, Rj, tj, sm, Rm, tm):
         def f(di, dj):
@@ -113,6 +136,19 @@ def optimize_pose_graph(
         b = b.at[edges_i].add(-jnp.einsum("eri,er->ei", Ji, rw))
         b = b.at[edges_j].add(-jnp.einsum("eri,er->ei", Jj, rw))
 
+        if yaw_only:
+            # Project each state's update subspace onto yaw+translation:
+            # H <- M H M (+ I - M to pin the complement), b <- M b.
+            # M is block-diagonal symmetric idempotent, so the solve in
+            # the projected metric directly yields d in the subspace.
+            M = tangent_projector(R)                       # (K,7,7)
+            H4 = H.reshape(K, DOF7, K, DOF7)
+            H4 = jnp.einsum("kab,kbqc,qcd->kaqd", M, H4, M)
+            eyeM = jnp.eye(DOF7, dtype=dtype)[None] - M
+            H4 = H4.at[jnp.arange(K), :, jnp.arange(K), :].add(eyeM)
+            H = H4.reshape(n, n)
+            b = jnp.einsum("kab,kb->ka", M, b)
+
         H = H.reshape(n, n)
         fmask = jnp.repeat(free, DOF7)
         H = H * fmask[:, None] * fmask[None, :] + jnp.diag(1.0 - fmask)
@@ -123,6 +159,8 @@ def optimize_pose_graph(
         ).reshape(K, DOF7)
         if fix_scale:
             d = d.at[:, 6].set(0.0)
+        if yaw_only:
+            d = jnp.einsum("kab,kb->ka", M, d)
         s, R, t = jax.vmap(_apply)(s, R, t, d)
         R = lie.normalize_rotation(R)
         return (s, R, t), jnp.sum(rw * rw)

@@ -348,13 +348,23 @@ class InertialInitResult(NamedTuple):
 @functools.partial(jax.jit, static_argnames=("iters",))
 def inertial_init(
     Rwb,              # (K,3,3) body rotations from visual SLAM (fixed)
-    pwb,              # (K,3) body positions (fixed up to scale)
+    pwb,              # (K,3) positions' SCALABLE part (fixed up to scale)
     preint: pre.PreintState,  # stacked (K-1,) edges
     edge_valid,       # (K-1,)
     gravity_mag: float = 9.81,
     prior_g: float = 1e2,
     prior_a: float = 1e6,
     iters: int = 30,
+    lever=None,       # (K,3) METRIC lever-arm part: p_body(s) = s*pwb + lever.
+                      # With camera-IMU extrinsics, p_wb = p_wc + Rwc tcb —
+                      # the visual p_wc scales with the unknown s but the
+                      # Rwc tcb lever term is already metric. Folding it into
+                      # a single scaled position (what GetImuPosition feeds
+                      # g2o in the reference) distorts relative positions by
+                      # (s-1)*|tcb| per keyframe; over a window where Rwc
+                      # swings a radian that rivals the inter-KF motion and
+                      # wrecks the scale estimate. Passing it separately
+                      # keeps the model exact and still linear in s.
 ) -> InertialInitResult:
     """Ref: Optimizer::InertialOptimization (/root/reference/src/
     Optimizer.cc:5391) called from LocalMapping::InitializeIMU (:1437)
@@ -363,6 +373,7 @@ def inertial_init(
     Solved as one dense AD-Gauss-Newton (packed dim 3K+9)."""
     K = Rwb.shape[0]
     dtype = Rwb.dtype
+    lev = jnp.zeros_like(pwb) if lever is None else jnp.asarray(lever, dtype)
     edge_i = jnp.arange(K - 1)
 
     # --- Closed-form linear visual-inertial alignment (the standard
@@ -385,7 +396,9 @@ def inertial_init(
         A = A.at[row_p:row_p + 3, 0].set(dp)
         A = A.at[row_p:row_p + 3, 1:4].set(-0.5 * dT * dT * eye3)
         A = A.at[row_p:row_p + 3, 4 + 3 * e:7 + 3 * e].set(-dT * eye3)
-        b = b.at[row_p:row_p + 3].set(Rwb[e] @ preint.dP[e])
+        # The metric lever part of the relative position moves to the rhs.
+        b = b.at[row_p:row_p + 3].set(Rwb[e] @ preint.dP[e]
+                                      - (lev[e + 1] - lev[e]))
         A = A.at[row_v:row_v + 3, 1:4].set(-dT * eye3)
         A = A.at[row_v:row_v + 3, 4 + 3 * e:7 + 3 * e].set(-eye3)
         A = A.at[row_v:row_v + 3, 7 + 3 * e:10 + 3 * e].set(eye3)
@@ -424,8 +437,8 @@ def inertial_init(
         def edge_res(e):
             st = jax.tree_util.tree_map(lambda x: x[e], preint)
             r = pre.inertial_residual(
-                st, Rwb[e], scale * pwb[e], vel[e],
-                Rwb[e + 1], scale * pwb[e + 1], vel[e + 1],
+                st, Rwb[e], scale * pwb[e] + lev[e], vel[e],
+                Rwb[e + 1], scale * pwb[e + 1] + lev[e + 1], vel[e + 1],
                 bg, ba, gravity=g,
             )
             return _whiten(st.cov[:9, :9], r) * edge_valid[e]

@@ -36,11 +36,11 @@ class System:
     def __init__(self, cfg: SLAMConfig):
         if cfg.sensor not in self.SENSORS:
             raise ValueError(f"unknown sensor mode {cfg.sensor!r}")
-        if cfg.sensor not in ("mono", "imu_mono"):
-            # Front-end pieces for stereo exist (frontend/stereo.py); the
-            # full stereo tracker wiring lands next round.
+        if cfg.sensor not in ("mono", "imu_mono", "stereo", "rgbd"):
             raise NotImplementedError(
                 f"sensor mode {cfg.sensor!r} not wired into the tracker yet")
+        if cfg.sensor in ("stereo", "rgbd") and cfg.camera.bf <= 0:
+            raise ValueError("stereo/rgbd requires camera.bf > 0")
         self.cfg = cfg
         self.tracker = MonoTracker(cfg)
         self.timestamps: List[float] = []
@@ -55,7 +55,26 @@ class System:
             raise RuntimeError("system is shut down")
         ts = time.time() if timestamp is None else float(timestamp)
         self.timestamps.append(ts)
-        return self.tracker.process(img)
+        return self.tracker.process(img, ts=ts)
+
+    def track_stereo(self, img_left: np.ndarray, img_right: np.ndarray,
+                     timestamp: Optional[float] = None) -> FrameResult:
+        """TrackStereo (src/System.cc:262): rectified left/right pair."""
+        if self._shutdown:
+            raise RuntimeError("system is shut down")
+        ts = time.time() if timestamp is None else float(timestamp)
+        self.timestamps.append(ts)
+        return self.tracker.process(img_left, img_right=img_right,
+                                    ts=ts)
+
+    def track_rgbd(self, img: np.ndarray, depth: np.ndarray,
+                   timestamp: Optional[float] = None) -> FrameResult:
+        """TrackRGBD (src/System.cc:318): gray image + metric depth map."""
+        if self._shutdown:
+            raise RuntimeError("system is shut down")
+        ts = time.time() if timestamp is None else float(timestamp)
+        self.timestamps.append(ts)
+        return self.tracker.process(img, depth=depth, ts=ts)
 
     def track_monocular_inertial(self, img: np.ndarray, imu,
                                  timestamp: Optional[float] = None
@@ -66,7 +85,7 @@ class System:
             raise RuntimeError("system is shut down")
         ts = time.time() if timestamp is None else float(timestamp)
         self.timestamps.append(ts)
-        return self.tracker.process(img, imu=imu)
+        return self.tracker.process(img, imu=imu, ts=ts)
 
     # -- modes / lifecycle ---------------------------------------------------
 
@@ -88,6 +107,7 @@ class System:
         self.timestamps = []
 
     def shutdown(self):
+        self.tracker.flush()
         self._shutdown = True
 
     # -- introspection (System.h:176-178) ------------------------------------
@@ -109,7 +129,8 @@ class System:
         """TUM format: timestamp tx ty tz qx qy qz qw (world-frame camera
         position + world-from-camera quaternion)."""
         lines = []
-        for ts, packed in zip(self.timestamps, self.tracker.trajectory):
+        for ts, packed in zip(self.timestamps,
+                              self.tracker.packed_trajectory()):
             R_cw = packed[:9].reshape(3, 3)
             t_cw = packed[9:]
             c = -R_cw.T @ t_cw
@@ -147,6 +168,7 @@ class System:
         chain (PreintState leaves stacked into arrays) — the reference's
         boost-serialized IMU members (include/ImuTypes.h:61-72)."""
         tr = self.tracker
+        tr.flush()
         arrays = {f"ms_{k}": np.asarray(v) for k, v in tr.ms._asdict().items()}
         inertial = {}
         if self.cfg.sensor == "imu_mono":
@@ -190,9 +212,11 @@ class System:
 
         data = np.load(Path(path), allow_pickle=False)
         tr = self.tracker
+        tr._pending = None            # drop any deferred superstep
         fields = {k[3:]: jnp.asarray(data[k]) for k in data.files
                   if k.startswith("ms_")}
         tr.ms = mapstate.MapState(**fields)
+        tr._invalidate_kf_set()
         tr.n_kf = int(data["n_kf"])
         tr.n_mp = int(data["n_mp"])
         tr.kf_slots = [int(x) for x in data["kf_slots"]]

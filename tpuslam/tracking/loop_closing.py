@@ -13,6 +13,7 @@ matching + robust pose optimization seeded from the candidate keyframe).
 
 from __future__ import annotations
 
+import functools
 import os
 from dataclasses import dataclass, field
 from typing import Optional
@@ -79,11 +80,18 @@ def detect_loop(ls: LoopState, ms: mapstate.MapState, slot: int,
     scores = np.array(retrieval.score_keyframes(
         ms.kf_desc, ms.kf_kp_valid, ls.db.kf_valid,
         ms.kf_desc[slot], _strong(ms, slot), match_th=25))
-    # Exclude the temporally-adjacent window (the reference excludes
-    # covisible keyframes, KeyFrameDatabase.cc:620).
+    # Exclude the temporally-adjacent window AND every covisibility-
+    # connected keyframe (spConnectedKeyFrames exclusion,
+    # KeyFrameDatabase.cc:620 + LoopClosing.cc:  the query's covisible
+    # group can never be a loop candidate). Early in a slow pass a
+    # keyframe more than min_gap back still sees the same points —
+    # that is a neighbor, not a revisit; closing against it records a
+    # bogus loop edge between two genuinely different places.
     for s in kf_slots[max(cur_order - ls.min_gap, 0): cur_order + 1]:
         scores[s] = -1.0
     scores[slot] = -1.0
+    shared = np.asarray(mapstate.covisibility_weights(ms, slot))
+    scores[shared >= 15] = -1.0
     cand = int(np.argmax(scores))
     others = scores[(scores >= 0)]
     baseline = float(np.median(others)) if others.size > 3 else 0.0
@@ -226,6 +234,7 @@ def correct_loop(
     kf_slots: list,          # live keyframes, temporal order
     s_cl, R_cl, t_cl,        # x_cand_cam = S(x_cur_cam)
     fix_scale: bool = False,
+    gravity_w=None,          # set => 4-DoF yaw-only graph (inertial map)
 ):
     """Pose-graph correction (CorrectLoop /root/reference/src/LoopClosing.cc:1210
     + OptimizeEssentialGraph, Optimizer.cc:2385).
@@ -311,10 +320,16 @@ def correct_loop(
 
     fixed = jnp.zeros((K,), bool).at[cand].set(True)
 
+    # Inertial maps use the 4-DoF graph (OptimizeEssentialGraph4DoF,
+    # ref Optimizer.cc:8520; selected at LoopClosing.cc:1412-1415):
+    # gravity pins pitch/roll, the graph may only bend yaw+translation.
+    yaw_only = gravity_w is not None
     res = pose_graph.optimize_pose_graph(
         s0, R0, t0, valid, fixed,
         eim, ejm, sij, Rij, tij,
         edge_valid, ewm, fix_scale=fix_scale,
+        yaw_only=yaw_only,
+        gravity_w=(jnp.asarray(gravity_w, dtype) if yaw_only else None),
     )
 
     # Corrected camera poses: Tcw = [R, t/s].
@@ -359,9 +374,97 @@ def correct_loop(
     return ms
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _seam_fuse_core(ms: mapstate.MapState, new_mask, old_mask,
+                    cap: int = 8192):
+    """Batched MapPoint::Replace across the loop seam
+    (SearchAndFuse, /root/reference/src/LoopClosing.cc:2631 +
+    src/MapPoint.cc:249): current-side points that duplicate an
+    established candidate-side point are invalidated and every
+    observation of them is rewired to the old point.
+
+    Unlike merge.fuse_duplicate_points this gathers each side into a
+    `cap`-padded subset first — the seam involves a bounded window of
+    keyframes, so an all-pairs sweep over mp_capacity² (32k² here)
+    would be ~1000x wasted work."""
+    M = ms.mp_capacity
+    new_ok_full = new_mask & ms.mp_valid
+    old_ok_full = old_mask & ms.mp_valid
+    # Stable gather: indices of each side's points, padded with slots
+    # whose mask is False (argsort of ~mask puts True entries first).
+    ni = jnp.argsort(~new_ok_full)[:cap].astype(jnp.int32)
+    oi = jnp.argsort(~old_ok_full)[:cap].astype(jnp.int32)
+    nok = new_ok_full[ni]
+    ook = old_ok_full[oi]
+
+    ham = matching.hamming_matrix(ms.mp_desc[ni], ms.mp_desc[oi])
+    pn, po = ms.mp_pos[ni], ms.mp_pos[oi]
+    d2 = (jnp.sum(pn * pn, -1)[:, None] + jnp.sum(po * po, -1)[None, :]
+          - 2.0 * (pn @ po.T))
+    tol = jnp.maximum(0.1 * jnp.maximum(ms.mp_dist_max[oi], 1e-3), 0.05)
+    cand_ok = (nok[:, None] & ook[None, :] & (ham < 50)
+               & (d2 < tol[None, :] ** 2))
+    score = jnp.where(cand_ok, ham, 1e9)
+    best = jnp.argmin(score, axis=1).astype(jnp.int32)       # (cap,)
+    has = nok & (jnp.min(score, axis=1) < 1e8)
+    target = oi[best]                                        # (cap,) global id
+
+    # Redirect lut over the full pool; identity elsewhere.
+    ids = jnp.arange(M, dtype=jnp.int32)
+    lut = ids.at[jnp.where(has, ni, M)].set(
+        jnp.where(has, target, 0), mode="drop")
+    obs = ms.kf_obs_mp
+    obs_new = jnp.where(obs >= 0, lut[jnp.clip(obs, 0, M - 1)], -1)
+    mp_valid = ms.mp_valid.at[jnp.where(has, ni, M)].set(
+        False, mode="drop")
+    # Replacement inherits the duplicate's counters (MapPoint::Replace
+    # keeps nvisible/nfound, src/MapPoint.cc:270).
+    mp_visible = ms.mp_visible.at[jnp.where(has, target, M)].add(
+        jnp.where(has, ms.mp_visible[ni], 0), mode="drop")
+    mp_found = ms.mp_found.at[jnp.where(has, target, M)].add(
+        jnp.where(has, ms.mp_found[ni], 0), mode="drop")
+    n_fused = jnp.sum(has).astype(jnp.int32)
+    return ms._replace(kf_obs_mp=obs_new, mp_valid=mp_valid,
+                       mp_visible=mp_visible, mp_found=mp_found), n_fused
+
+
+def seam_fuse(ms: mapstate.MapState, kf_slots: list, cur: int, cand: int,
+              width: int = 10):
+    """Fuse duplicate map points across a just-closed loop seam.
+
+    After correct_loop the two loop ends coincide spatially but their
+    landmarks are still disjoint: the seam is held only by the one Sim3
+    edge, and the post-loop GBA — seeing two unconnected point clouds —
+    can pull it back apart. The reference solves this with SearchAndFuse
+    (/root/reference/src/LoopClosing.cc:2631): project the corrected
+    current-side points into the loop-side keyframes and Replace
+    duplicates, creating cross-seam observations that anchor the GBA.
+
+    Sides: points observed by keyframes within `width` of cur / cand in
+    temporal order. Points already seen by both sides tie the seam by
+    themselves and are skipped."""
+    order_of = {s: i for i, s in enumerate(kf_slots)}
+    i_cur, i_cand = order_of[cur], order_of[cand]
+    cur_side = [s for s in kf_slots if abs(order_of[s] - i_cur) <= width]
+    cand_side = [s for s in kf_slots if abs(order_of[s] - i_cand) <= width]
+
+    def owned(slots):
+        obs = ms.kf_obs_mp[jnp.asarray(np.asarray(slots, np.int32))]
+        flat = obs.reshape(-1)
+        m = jnp.zeros((ms.mp_capacity,), bool)
+        return m.at[jnp.where(flat >= 0, flat, ms.mp_capacity)].set(
+            True, mode="drop")
+
+    new_mask = owned(cur_side)
+    old_mask = owned(cand_side)
+    new_mask = new_mask & ~old_mask
+    ms, n_fused = _seam_fuse_core(ms, new_mask, old_mask)
+    return ms, int(n_fused)
+
+
 def relocalize(ls: LoopState, ms: mapstate.MapState, feats, cam_params,
                inv_sigma2_lut, top_k: int = 3, min_inliers: int = 20,
-               key=None):
+               key=None, model: str = "pinhole"):
     """Tracking::Relocalization analog (src/Tracking.cc:3764): retrieval
     -> 2D-3D matches -> batched EPnP RANSAC (the MLPnP role, :3811) ->
     GN polish (PoseOptimization, :3844). The minimal-solver RANSAC means
@@ -378,7 +481,7 @@ def relocalize(ls: LoopState, ms: mapstate.MapState, feats, cam_params,
     order = np.argsort(-scores)[:top_k]
     inv_sigma2_kp = inv_sigma2_lut[jnp.clip(feats.level, 0,
                                             inv_sigma2_lut.shape[0] - 1)]
-    bear_all = cameras.unproject(feats.uv, cam_params)
+    bear_all = cameras.unproject(feats.uv, cam_params, model)
     focal = float(cam_params[0])
     for cand in order:
         if scores[cand] < 0.05:
@@ -392,6 +495,9 @@ def relocalize(ls: LoopState, ms: mapstate.MapState, feats, cam_params,
         mp = ms.kf_obs_mp[cand]
         mp_s = jnp.clip(mp, 0, ms.mp_capacity - 1)
         valid = (res.idx >= 0) & (mp >= 0) & ms.mp_valid[mp_s]
+        if _DEBUG:
+            print(f"[reloc] cand={cand} score={scores[cand]:.3f} "
+                  f"pairs={int(jnp.sum(valid))}", flush=True)
         if int(jnp.sum(valid)) < 10:
             continue
         kp = jnp.clip(res.idx, 0, feats.capacity - 1)
@@ -400,13 +506,19 @@ def relocalize(ls: LoopState, ms: mapstate.MapState, feats, cam_params,
             ms.mp_pos[mp_s], bear_all[kp], valid, sub,
             inlier_th=8.0 / focal, min_inliers=10,
         )
+        if _DEBUG:
+            print(f"[reloc] cand={cand} pnp_ok={bool(hyp.ok)} "
+                  f"pnp_inl={int(hyp.n_inliers)}", flush=True)
         if not bool(hyp.ok):
             continue
         opt = pose_opt.optimize_pose(
             hyp.R, hyp.t,
             ms.mp_pos[mp_s], feats.uv[kp], inv_sigma2_kp[kp],
-            valid, cam_params,
+            valid, cam_params, model=model,
         )
+        if _DEBUG:
+            print(f"[reloc] cand={cand} gn_inl={int(opt.n_inliers)}",
+                  flush=True)
         if int(opt.n_inliers) >= min_inliers:
             return True, np.asarray(opt.R), np.asarray(opt.t), \
                 int(opt.n_inliers)

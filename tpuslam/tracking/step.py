@@ -41,8 +41,15 @@ def make_tracking_step(cfg: SLAMConfig):
     @jax.jit
     def step(img, R0, t0, mp_ids, mp_pos, mp_desc, mp_level, mp_ok):
         feats = extractor.extract(img, orb_cfg)
+        # Geometry-free map stats (normal/dist range unset => the
+        # viewing gates pass-through, matching a freshly spawned map).
+        P = mp_pos.shape[0]
+        mp_normal = jnp.zeros((P, 3), jnp.float32)
+        mp_dmin = jnp.zeros((P,), jnp.float32)
+        mp_dmax = jnp.zeros((P,), jnp.float32)
         R, t, assoc, n_inl, _, _ = _tracker._track_pose(
             R0, t0, mp_ids, mp_pos, mp_desc, mp_level, mp_ok,
+            mp_normal, mp_dmin, mp_dmax,
             feats, cam_params, scale_lut, inv_sigma2_lut, img_wh,
         )
         return TrackStepOut(R=R, t=t, assoc=assoc, n_inliers=n_inl)

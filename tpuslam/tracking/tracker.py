@@ -221,7 +221,7 @@ def _gather_vi_matches(ms: mapstate.MapState, assoc, feats: FrameFeatures,
     return X_w, valid, inv_s2
 
 
-@functools.partial(jax.jit, static_argnames=("focal",))
+@functools.partial(jax.jit, static_argnames=("focal", "model"))
 def _triangulate_between(
     ms: mapstate.MapState,
     slot_i, slot_j,
@@ -231,6 +231,7 @@ def _triangulate_between(
     near_pos,        # (P,3) existing local map points (duplicate guard)
     near_ok,         # (P,)
     focal: float,
+    model: str = "pinhole",
 ):
     """Create new map points between keyframes i and j.
 
@@ -246,8 +247,8 @@ def _triangulate_between(
     free_i = ms.kf_kp_valid[slot_i] & (ms.kf_obs_mp[slot_i] < 0)
     free_j = ms.kf_kp_valid[slot_j] & (ms.kf_obs_mp[slot_j] < 0)
 
-    bi = cameras.unproject(ms.kf_uv[slot_i], cam_params)
-    bj = cameras.unproject(ms.kf_uv[slot_j], cam_params)
+    bi = cameras.unproject(ms.kf_uv[slot_i], cam_params, model)
+    bj = cameras.unproject(ms.kf_uv[slot_j], cam_params, model)
 
     # Relative pose j<-i and essential matrix.
     Rji = Rj @ Ri.T
@@ -296,7 +297,40 @@ def _triangulate_between(
     return ms, n_new
 
 
-@functools.partial(jax.jit, static_argnames=("level_widen",))
+@jax.jit
+def _spawn_stereo_points(
+    ms: mapstate.MapState,
+    slot,
+    depth,            # (N,) metric depth per keypoint (from stereo/RGBD)
+    depth_valid,      # (N,)
+    next_free,
+    cam_params,
+    scale_lut,
+    depth_th,
+):
+    """Create map points directly from per-keypoint sensor depth for
+    keyframe `slot`'s unassociated keypoints — the near-point spawning
+    of StereoInitialization and CreateNewKeyFrame
+    (/root/reference/src/Tracking.cc:2301, :3334-3421). Near points
+    (depth < mThDepth) are reliable enough to skip triangulation; far
+    points still go through the epipolar two-view path."""
+    R, t = ms.kf_R[slot], ms.kf_t[slot]
+    uv = ms.kf_uv[slot]
+    fx, fy, cx, cy = (cam_params[0], cam_params[1], cam_params[2],
+                      cam_params[3])
+    z = jnp.where(jnp.isfinite(depth), depth, 0.0)
+    Xc = jnp.stack([(uv[:, 0] - cx) / fx * z,
+                    (uv[:, 1] - cy) / fy * z, z], axis=-1)
+    X_w = jnp.einsum("ji,nj->ni", R, Xc - t)
+    ok = (depth_valid & ms.kf_kp_valid[slot] & (ms.kf_obs_mp[slot] < 0)
+          & (z > 0.0) & (z < depth_th))
+    ids = jnp.arange(uv.shape[0], dtype=jnp.int32)
+    return mapstate.add_points(
+        ms, next_free, X_w, ms.kf_desc[slot], ms.kf_level[slot], ok,
+        slot, ids, slot, ids, scale_lut=scale_lut)
+
+
+@functools.partial(jax.jit, static_argnames=("level_widen", "model"))
 def _fuse_into_kf(
     ms: mapstate.MapState,
     slot,
@@ -306,6 +340,7 @@ def _fuse_into_kf(
     inv_sigma2_lut,
     img_wh,
     level_widen: bool = False,
+    model: str = "pinhole",
 ):
     """Add missing map-point observations to keyframe `slot` by guided
     projection into its stored keypoints (ORBmatcher::Fuse,
@@ -327,7 +362,7 @@ def _fuse_into_kf(
     pos = ms.mp_pos[safe]
     R, t = ms.kf_R[slot], ms.kf_t[slot]
     Xc = jnp.einsum("ij,pj->pi", R, pos) + t
-    uv = cameras.project(Xc, cam_params)
+    uv = cameras.project(Xc, cam_params, model)
     visible = (
         mp_ok & (Xc[:, 2] > 0.05)
         & (uv[:, 0] >= 0) & (uv[:, 0] < img_wh[0])
@@ -403,14 +438,14 @@ def _fuse_into_kf(
                        mp_valid=mp_valid)
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+@functools.partial(jax.jit, static_argnames=("iters", "model"))
 def _run_local_ba(ms: mapstate.MapState, kf_ids, fixed, mp_ids,
                   local_of_global, inv_sigma2_lut, cam_params,
-                  iters: int = 10):
+                  iters: int = 10, model: str = "pinhole"):
     prob = mapstate.build_ba_problem(
         ms, kf_ids, fixed, mp_ids, local_of_global, inv_sigma2_lut
     )
-    res = local_ba.optimize(prob, cam_params, iters=iters)
+    res = local_ba.optimize(prob, cam_params, iters=iters, model=model)
     # Keep points with at least one inlier observation in the window.
     observed = jnp.any(prob.obs_mask, axis=0)
     pt_keep = jnp.any(res.inlier, axis=0) | ~observed
@@ -461,6 +496,8 @@ class MonoTracker:
     kf_slots: List[int] = field(default_factory=list)
     free_kf_slots: List[int] = field(default_factory=list)  # recycled slots
     _map_start_frame: int = 0   # trajectory index where the active map began
+    last_ts: float = None       # previous frame timestamp (jump guards)
+    _lost_t0: int = 0           # trajectory index where RECENTLY_LOST began
     stats: dict = field(default_factory=dict)
     enable_loop_closing: bool = True
     frozen: bool = False            # localization-only: no map mutation
@@ -493,7 +530,15 @@ class MonoTracker:
         self.ms = mapstate.empty(mcfg.max_keyframes, mcfg.max_points,
                                  self.n_feat)
         cam = self.cfg.camera
-        self.cam_params = jnp.asarray(cam.params, jnp.float32)
+        # KB8 carries its distortion inside the projection model
+        # ([fx,fy,cx,cy,k1..k4], geometry/cameras.py:17); pinhole
+        # keypoints are undistorted once per frame instead.
+        self.model = cam.model
+        if cam.model == "kb8":
+            self.cam_params = jnp.asarray(
+                tuple(cam.params) + tuple(cam.dist[:4]), jnp.float32)
+        else:
+            self.cam_params = jnp.asarray(cam.params, jnp.float32)
         self.img_wh = jnp.asarray([cam.width, cam.height], jnp.float32)
         # Pinhole radtan distortion: undistort keypoints once per frame
         # (kb8 distortion is part of the projection model itself).
@@ -503,6 +548,12 @@ class MonoTracker:
         self.scale_lut = jnp.asarray(sf)
         self.sigma2_lut = jnp.asarray(sf * sf)
         self.inv_sigma2_lut = jnp.asarray(1.0 / (sf * sf))
+        # Stereo/RGBD: metric close-point threshold mThDepth =
+        # bf * ThDepth / fx (src/Tracking.cc:661).
+        self._cur_stereo = None
+        self._need_close = False
+        self.depth_th = (cam.bf * cam.th_depth / cam.fx
+                         if cam.bf > 0 else 0.0)
         from tpuslam.mapping.atlas import Atlas
         from tpuslam.utils.profiling import StageTimer
 
@@ -545,15 +596,50 @@ class MonoTracker:
         self.last_t = np.zeros(3, np.float32)
         self.vel_R = np.eye(3, dtype=np.float32)
         self.vel_t = np.zeros(3, np.float32)
+        # Real inter-frame intervals (timestamp-driven when ts is given;
+        # datasets have jitter and drops — the constant-velocity model
+        # must scale its step, the reference's mVelocity is implicitly
+        # per-interval because it always tracks the previous frame).
+        self._cur_dt = 1.0 / self.cfg.camera.fps
+        self._prev_dt = 1.0 / self.cfg.camera.fps
         self.stats = {"kf": 0, "mp": 0, "ba_chi2": 0.0}
 
     # -- public API ---------------------------------------------------------
 
-    def process(self, img: np.ndarray, imu=None) -> FrameResult:
+    def process(self, img: np.ndarray, imu=None, img_right=None,
+                depth=None, ts=None) -> FrameResult:
         """Track one frame. `imu` (sensor == imu_mono): tuple
         (gyro (S,3), acc (S,3), dt (S,)) of samples since the previous
         frame (GrabImuData + PreintegrateIMU, src/Tracking.cc:1202/1217).
+        `img_right` (sensor == stereo): rectified right image.
+        `depth` (sensor == rgbd): (H,W) metric depth image.
+        `ts`: frame timestamp (s) — enables the stream-corruption guards.
         """
+        # Commit the previous keyframe's deferred mapping superstep
+        # FIRST: every decision below then reads fresh state (the
+        # device worked on the superstep while the host fetched and
+        # staged this frame).
+        self._commit_mapping()
+        # Timestamp-jump guards (src/Tracking.cc:1584-1629): a backwards
+        # timestamp means a corrupted stream; a >1 s forward gap breaks
+        # the IMU preintegration chain beyond repair — both abandon the
+        # active map into the Atlas and restart (CreateMapInAtlas /
+        # ResetActiveMap).
+        if (ts is not None and self.last_ts is not None
+                and self.state != "NOT_INITIALIZED" and not self.frozen):
+            if ts < self.last_ts - 1e-9:
+                self._new_map_in_atlas()
+            elif (ts - self.last_ts > 1.0
+                  and self.cfg.sensor == "imu_mono"):
+                self._new_map_in_atlas()
+        if ts is not None:
+            if self.last_ts is not None:
+                # Real inter-frame interval for the motion model and the
+                # finite-difference velocity (datasets drop frames and
+                # jitter; uniform-fps spacing is only the fallback).
+                self._cur_dt = float(np.clip(ts - self.last_ts,
+                                             1e-3, 1.0))
+            self.last_ts = float(ts)
         if imu is not None and self.cfg.sensor == "imu_mono":
             with self.timer.stage("imu_preintegration"):
                 self._integrate_imu(*imu)
@@ -563,14 +649,46 @@ class MonoTracker:
             if self.dist is not None:
                 feats = feats._replace(uv=_undistort_uv(
                     feats.uv, self.cam_params, self.dist))
+        if self.cfg.sensor == "stereo" and img_right is not None:
+            from tpuslam.frontend import stereo as stereo_mod
+            with self.timer.stage("stereo_match"):
+                feats_r = extractor.extract_jit(
+                    jnp.asarray(img_right, jnp.float32), self.cfg.orb)
+                sm = stereo_mod.match_stereo(
+                    feats, feats_r, self.scale_lut, self.cfg.camera.bf)
+                # SAD scanline subpixel refinement (Frame.cc:975-1022).
+                self._cur_stereo = stereo_mod.refine_subpixel(
+                    jnp.asarray(img, jnp.float32),
+                    jnp.asarray(img_right, jnp.float32),
+                    feats.uv, sm, jnp.float32(self.cfg.camera.bf))
+        elif self.cfg.sensor == "rgbd" and depth is not None:
+            # Per-keypoint depth lookup replaces ComputeStereoFromRGBD
+            # (/root/reference/src/Frame.cc:1143): the virtual right
+            # coordinate is never needed — near-point spawning and the
+            # depth gates consume metric depth directly.
+            from tpuslam.frontend.stereo import StereoMatches
+            d = jnp.asarray(depth, jnp.float32)
+            ui = jnp.clip(feats.uv[:, 0].astype(jnp.int32), 0,
+                          d.shape[1] - 1)
+            vi = jnp.clip(feats.uv[:, 1].astype(jnp.int32), 0,
+                          d.shape[0] - 1)
+            z = d[vi, ui]
+            ok = feats.valid & (z > 0)
+            self._cur_stereo = StereoMatches(
+                disparity=jnp.where(ok, self.cfg.camera.bf
+                                    / jnp.maximum(z, 1e-6), -1.0),
+                u_right=jnp.full_like(z, -1.0),
+                depth=jnp.where(ok, z, jnp.inf), valid=ok)
         if self.state == "NOT_INITIALIZED":
             out = self._initialize(feats)
         elif self.state == "OK":
             out = self._track(feats)
+        elif self.state == "RECENTLY_LOST":
+            out = self._track_recently_lost(feats)
         else:  # LOST: attempt relocalization (Tracking.cc:3764)
             ok, R, t, n = loop_closing.relocalize(
                 self.loop, self.ms, feats, self.cam_params,
-                self.inv_sigma2_lut)
+                self.inv_sigma2_lut, model=self.model)
             if ok:
                 self.state = "OK"
                 self.lost_count = 0
@@ -607,10 +725,17 @@ class MonoTracker:
             self.traj_rel.append(self.trajectory[-1])
         return out
 
+    def flush(self):
+        """Commit any pending deferred mapping superstep (async mode):
+        call before reading summary state (stats, loop/merge counters,
+        n_mp) outside the per-frame loop."""
+        self._commit_mapping()
+
     def packed_trajectory(self) -> list:
         """Per-frame absolute camera poses (12 floats: R|t), relative
         entries chained through their reference keyframe's CURRENT pose
         so every map correction since track time is reflected."""
+        self._commit_mapping()
         kf_R = np.asarray(self.ms.kf_R)
         kf_t = np.asarray(self.ms.kf_t)
         out = []
@@ -637,6 +762,8 @@ class MonoTracker:
     # -- initialization -----------------------------------------------------
 
     def _initialize(self, feats: FrameFeatures) -> FrameResult:
+        if self.cfg.sensor in ("stereo", "rgbd"):
+            return self._initialize_stereo(feats)
         tcfg = self.cfg.tracking
         n_valid = int(jnp.sum(feats.valid))
         if self.init_feats is None:
@@ -659,11 +786,16 @@ class MonoTracker:
 
         fa, fb = self.init_feats, feats
         kp_b = jnp.clip(res.idx, 0, fb.capacity - 1)
-        b1 = cameras.unproject(fa.uv, self.cam_params)
-        b2 = cameras.unproject(fb.uv[kp_b], self.cam_params)
+        b1 = cameras.unproject(fa.uv, self.cam_params, self.model)
+        b2 = cameras.unproject(fb.uv[kp_b], self.cam_params, self.model)
         self.key, sub = jax.random.split(self.key)
         rec = _reconstruct(b1, b2, res.idx >= 0, sub,
                            focal=float(self.cfg.camera.fx))
+        if os.environ.get("TPUSLAM_INIT_DEBUG"):
+            print(f"[init] ok={bool(rec.ok)} model="
+                  f"{'H' if bool(rec.used_h) else 'E'} "
+                  f"good={int(jnp.sum(rec.good))} inl={int(rec.n_inliers)}",
+                  flush=True)
         if not bool(rec.ok) or int(jnp.sum(rec.good)) < tcfg.init_min_tri:
             return FrameResult("NOT_INITIALIZED", self.last_R, self.last_t,
                                n_match)
@@ -701,7 +833,7 @@ class MonoTracker:
         kf_ids, fixed, mp_ids, local = self._window(free=1)
         ms, chi2 = _run_local_ba(ms, kf_ids, fixed, mp_ids, local,
                                  self.inv_sigma2_lut, self.cam_params,
-                                 iters=15)
+                                 iters=15, model=self.model)
         # Re-normalize scale: median depth of valid points in KF1 frame.
         pos = np.asarray(ms.mp_pos[: self.cfg.map.ba_point_cap])
         val = np.asarray(ms.mp_valid[: self.cfg.map.ba_point_cap])
@@ -737,6 +869,174 @@ class MonoTracker:
         self.stats["kf"] = 2
         self.stats["mp"] = self.n_mp
         return FrameResult("OK", self.last_R, self.last_t, self.ref_tracked,
+                           is_keyframe=True)
+
+    def _track_recently_lost(self, feats: FrameFeatures) -> FrameResult:
+        """IMU dead-reckoning grace period (src/Tracking.cc:1800,
+        1835-1874): each frame first RETRIES guided local-map tracking
+        from the IMU-predicted pose (PredictStateIMU feeding
+        TrackLocalMap — the camera usually reconnects as soon as mapped
+        space is back in view), falls back to relocalization, and keeps
+        dead-reckoning otherwise; after time_recently_lost seconds
+        without visual recovery the state drops to LOST (Atlas
+        elastic-recovery path)."""
+        t0 = self._lost_t0
+        # Prediction-free local-map PnP FIRST: after a long gap the
+        # dead-reckoned prediction can be off by more than any guided
+        # window, and a widened window false-locks on repetitive texture
+        # (measured: a 48 px window produced a 21-inlier fit 0.57 m off
+        # that collapsed visibility 478 -> 113 one frame later).
+        # Geometric RANSAC consensus over the whole local window is
+        # alias-robust where the prediction prior is not.
+        rec = self._reenter_local_pnp(feats)
+        if rec is None:
+            self.state = "OK"
+            out = self._track(feats, reentry=True)
+            if out.state == "OK":
+                self.lost_count = 0
+                return out
+            self._lost_t0 = t0      # keep the original grace clock
+            self.state = "RECENTLY_LOST"
+        if rec is None:
+            ok, R, t, n = loop_closing.relocalize(
+                self.loop, self.ms, feats, self.cam_params,
+                self.inv_sigma2_lut)
+            if ok:
+                rec = (R, t, n)
+        if rec is not None:
+            R, t, n = rec
+            self.state = "OK"
+            self.lost_count = 0
+            self.last_R, self.last_t = R, t
+            self.vel_R = np.eye(3, dtype=np.float32)
+            self.vel_t = np.zeros(3, np.float32)
+            # Fresh anchor after relocalization (ResetFrameIMU role,
+            # src/Tracking.cc:1548).
+            self.prior_H = None
+            self.body_state = None
+            self._map_updated = True
+            return FrameResult("OK", R, t, n)
+        if self.frame_preint is not None:
+            R_pred, t_pred, vel = self._imu_predict()
+            self.last_R = np.asarray(R_pred)
+            self.last_t = np.asarray(t_pred)
+            self.vel = np.asarray(vel)
+        t_lost = ((len(self.trajectory) - self._lost_t0)
+                  / self.cfg.camera.fps)
+        if t_lost > self.cfg.tracking.time_recently_lost:
+            self.state = "LOST"
+            self.lost_count = 0
+        return FrameResult("RECENTLY_LOST", self.last_R, self.last_t, 0)
+
+    def _reenter_local_pnp(self, feats: FrameFeatures):
+        """RECENTLY_LOST re-acquisition by geometric consensus.
+
+        A wide guided window alone false-locks: GN from the drifted
+        prediction converges onto whatever alias associations the first
+        round found (measured: a 48 px window produced a 21-inlier fit
+        0.57 m off that collapsed visibility 478 -> 113 one frame
+        later). Instead, collect the wide-window guided match set from
+        the dead-reckoned prediction and let batched EPnP-RANSAC pick
+        the rigid-consistent subset — the prediction only PREFILTERS
+        candidates; the pose comes from consensus (the role MLPnP
+        RANSAC plays in the reference's reloc, src/Tracking.cc:3811).
+        Falls back to prediction-free brute matching when there is no
+        IMU prediction to guide with. Returns (R, t, n_inliers) or
+        None; the >=30-inlier verification mirrors the reference's
+        reloc acceptance (nGood >= 50 at full feature count, scaled to
+        the thinner post-gap overlap)."""
+        from tpuslam.geometry import cameras
+        from tpuslam.solver import pnp
+
+        _, _, mp_ids, _ = self._window()
+        safe = jnp.clip(mp_ids, 0, self.ms.mp_capacity - 1)
+        ok = (mp_ids >= 0) & self.ms.mp_valid[safe]
+        mask = None
+        if (self.cfg.sensor == "imu_mono" and self.imu_initialized
+                and self.frame_preint is not None):
+            R_pred, t_pred, _ = self._imu_predict()
+            Xc = jnp.einsum("ij,pj->pi", R_pred, self.ms.mp_pos[safe]) \
+                + t_pred
+            uv_pred = cameras.project(Xc, self.cam_params, self.model)
+            ok = ok & (Xc[:, 2] > 0.05)
+            d = jnp.linalg.norm(uv_pred[:, None] - feats.uv[None], axis=-1)
+            mask = d <= 64.0
+        # No Lowe ratio, no mutual gate: the map holds near-duplicate
+        # descriptors (multi-view observations of the same structure),
+        # which those gates misread as ambiguity and starve the pair
+        # set (measured 36 -> 6 pairs). RANSAC's geometric consensus is
+        # the outlier filter here.
+        res = matching.match(self.ms.mp_desc[safe], feats.desc, ok,
+                             feats.valid, mask=mask,
+                             max_dist=matching.TH_HIGH, ratio=1.0)
+        valid = res.idx >= 0
+        if int(jnp.sum(valid)) < 20:
+            return None
+        kp = jnp.clip(res.idx, 0, feats.capacity - 1)
+        bear = cameras.unproject(feats.uv, self.cam_params, self.model)
+        self.key, sub = jax.random.split(self.key)
+        hyp = pnp.ransac_pnp(
+            self.ms.mp_pos[safe], bear[kp], valid, sub,
+            inlier_th=8.0 / float(self.cfg.camera.fx), min_inliers=12,
+            n_hyp=512)
+        if os.environ.get("TPUSLAM_TRACK_DEBUG"):
+            print(f"[pnp-reenter] pairs={int(jnp.sum(valid))} "
+                  f"ok={bool(hyp.ok)} inl={int(hyp.n_inliers)}",
+                  flush=True)
+        if not bool(hyp.ok):
+            return None
+        inv_s2 = self.inv_sigma2_lut[jnp.clip(
+            feats.level, 0, self.inv_sigma2_lut.shape[0] - 1)]
+        opt = pose_opt.optimize_pose(
+            hyp.R, hyp.t, self.ms.mp_pos[safe], feats.uv[kp], inv_s2[kp],
+            valid, self.cam_params, model=self.model)
+        if os.environ.get("TPUSLAM_TRACK_DEBUG"):
+            print(f"[pnp-reenter] gn_inl={int(opt.n_inliers)}", flush=True)
+        # Accept on combined evidence: a rigid consensus of >=25 at the
+        # loose RANSAC threshold AND >=18 survivors of the strict-chi2
+        # GN polish (the post-gap overlap is a fraction of the normal
+        # ~nGood>=50 reloc regime, src/Tracking.cc:3908).
+        if int(hyp.n_inliers) < 25 or int(opt.n_inliers) < 18:
+            return None
+        return np.asarray(opt.R), np.asarray(opt.t), int(opt.n_inliers)
+
+    def _initialize_stereo(self, feats: FrameFeatures) -> FrameResult:
+        """StereoInitialization (/root/reference/src/Tracking.cc:2301):
+        one frame with enough sensor-depth keypoints seeds a METRIC map
+        directly — no two-view reconstruction, no scale normalization."""
+        sm = self._cur_stereo
+        if sm is None:
+            return FrameResult("NOT_INITIALIZED", self.last_R, self.last_t,
+                               0)
+        n_depth = int(jnp.sum(sm.valid & feats.valid
+                              & (sm.depth < self.depth_th)))
+        # N > 500 depth points to initialize (Tracking.cc:2306).
+        if n_depth < 500:
+            return FrameResult("NOT_INITIALIZED", self.last_R, self.last_t,
+                               n_depth)
+        slot = self._alloc_kf_slot()
+        eye = jnp.eye(3, dtype=jnp.float32)
+        zero = jnp.zeros(3, jnp.float32)
+        self.ms = mapstate.add_keyframe(
+            self.ms, slot, eye, zero, feats,
+            jnp.full((self.n_feat,), -1, jnp.int32))
+        self.ms, n_new = _spawn_stereo_points(
+            self.ms, slot, sm.depth, sm.valid, jnp.int32(self.n_mp),
+            self.cam_params, self.scale_lut, jnp.float32(self.depth_th))
+        self.n_mp += int(n_new)
+        self.kf_slots = [slot]
+        self.last_R = np.eye(3, dtype=np.float32)
+        self.last_t = np.zeros(3, np.float32)
+        self.vel_R = np.eye(3, dtype=np.float32)
+        self.vel_t = np.zeros(3, np.float32)
+        self.state = "OK"
+        self.frames_since_kf = 0
+        self.ref_tracked = max(int(n_new), 1)
+        if self.enable_loop_closing:
+            loop_closing.on_new_keyframe(self.loop, self.ms, slot)
+        self.stats = {"kf": 1, "mp": self.n_mp, "loops": 0,
+                      "merges": self.n_merges}
+        return FrameResult("OK", self.last_R, self.last_t, int(n_new),
                            is_keyframe=True)
 
     def _new_map_in_atlas(self):
@@ -776,7 +1076,7 @@ class MonoTracker:
         self.n_mp = 0
         self.kf_slots = []
         self.free_kf_slots = []
-        self._win_cache_key = None
+        self._invalidate_kf_set()
         if self.cfg.sensor == "imu_mono":
             # New map => new (non-metric) scale regime: the old map's
             # preintegration chain, metric velocity, and init bookkeeping
@@ -949,7 +1249,7 @@ class MonoTracker:
         self.last_t = np.asarray(self.ms.kf_t[cur_slot])
         self.vel_R = np.eye(3, dtype=np.float32)
         self.vel_t = np.zeros(3, np.float32)
-        self._win_cache_key = None
+        self._invalidate_kf_set()
         self._map_start_frame = 0   # one session now spans everything
         if self.cfg.sensor == "imu_mono":
             self._map_updated = True
@@ -966,7 +1266,7 @@ class MonoTracker:
             self.ms, _ = _run_local_ba(
                 self.ms, kf_ids, fixed, mp_ids, local,
                 self.inv_sigma2_lut, self.cam_params,
-                iters=self.cfg.solver.ba_iters,
+                iters=self.cfg.solver.ba_iters, model=self.model,
             )
         self.last_R = np.asarray(self.ms.kf_R[cur_slot])
         self.last_t = np.asarray(self.ms.kf_t[cur_slot])
@@ -1020,31 +1320,52 @@ class MonoTracker:
         chosen = sorted(free_set | set(fixed_set), key=lambda s: pos[s])
         return chosen, free_set
 
+    def _invalidate_window(self):
+        """The map's point set changed: refresh the window's point
+        gather on next use. The slot CHOICE is cached separately (it
+        syncs the host on covisibility weights) so that mid-superstep
+        point updates don't force a device->host round trip — the key
+        enabler of the deferred-commit mapping pipeline."""
+        self._ms_version = getattr(self, "_ms_version", 0) + 1
+
+    def _invalidate_kf_set(self):
+        """The keyframe SET changed (add/cull/reset/merge): recompute
+        both the slot choice and the point gather."""
+        self._kf_version = getattr(self, "_kf_version", 0) + 1
+        self._invalidate_window()
+
     def _window(self, free: Optional[int] = None):
         """Local covisibility window as fixed-shape arrays for the jitted
-        BA/matching programs."""
+        BA/matching programs. Two-level cache: slot selection (host,
+        syncs on covisibility weights) keyed by the keyframe set; point
+        gather (pure device, lazy) keyed by the map version."""
         mcfg = self.cfg.map
         W = mcfg.local_window + mcfg.local_fixed
         target = mcfg.local_window if free is None else free
-        cache_key = (len(self.kf_slots), self.n_mp, self.n_loops_closed,
-                     target)
-        if getattr(self, "_win_cache_key", None) == cache_key:
-            return self._win_cache
-        chosen, free_set = self._window_slots(target)
-        n = len(chosen)
-        kf_ids = np.full((W,), -1, np.int32)
-        fixed = np.ones((W,), bool)
-        kf_ids[:n] = chosen
-        for i, s in enumerate(chosen):
-            fixed[i] = s not in free_set
-        kf_ids_j = jnp.asarray(kf_ids)
-        mp_ids, local = mapstate.local_point_ids(
-            self.ms, kf_ids_j, cap=mcfg.ba_point_cap
-        )
-        out = (kf_ids_j, jnp.asarray(fixed), mp_ids, local)
-        self._win_cache_key = cache_key
-        self._win_cache = out
-        return out
+        # Monotonic keyframe-set version (a cull followed by an add
+        # returns to the same len with different slots — len alone
+        # would collide).
+        skey = (getattr(self, "_kf_version", 0), target)
+        if getattr(self, "_win_slots_key", None) != skey:
+            chosen, free_set = self._window_slots(target)
+            n = len(chosen)
+            kf_ids = np.full((W,), -1, np.int32)
+            fixed = np.ones((W,), bool)
+            kf_ids[:n] = chosen
+            for i, s in enumerate(chosen):
+                fixed[i] = s not in free_set
+            self._win_slots = (jnp.asarray(kf_ids), jnp.asarray(fixed))
+            self._win_slots_key = skey
+            self._win_pts_key = None
+        pkey = (getattr(self, "_ms_version", 0), target)
+        if getattr(self, "_win_pts_key", None) != pkey:
+            mp_ids, local = mapstate.local_point_ids(
+                self.ms, self._win_slots[0], cap=mcfg.ba_point_cap
+            )
+            self._win_pts = (mp_ids, local)
+            self._win_pts_key = pkey
+        return (self._win_slots[0], self._win_slots[1],
+                self._win_pts[0], self._win_pts[1])
 
     # -- inertial plumbing ---------------------------------------------------
 
@@ -1055,6 +1376,21 @@ class MonoTracker:
         t_bw = Rbc @ np.asarray(t_cw) - Rbc @ self.tcb
         Rwb = R_bw.T
         return Rwb.astype(np.float32), (-R_bw.T @ t_bw).astype(np.float32)
+
+    def _init_body_terms(self, slots):
+        """Body rotations + scale-split position terms for the inertial
+        initializer: Rwb, the visual (scalable) camera centers p_wc, and
+        the metric lever Rwc @ tcb — p_wb = s * p_wc + lever (see
+        vi_ba.inertial_init's `lever` doc for why the split matters)."""
+        Rcw = np.stack([np.asarray(self.ms.kf_R[s]) for s in slots])
+        tcw = np.stack([np.asarray(self.ms.kf_t[s]) for s in slots])
+        Rwc = Rcw.transpose(0, 2, 1)
+        pwc = -np.einsum("kij,kj->ki", Rwc, tcw)
+        Rwb = np.einsum("kij,jl->kil", Rwc, self.Rcb)
+        lever = np.einsum("kij,j->ki", Rwc, self.tcb)
+        return (jnp.asarray(Rwb.astype(np.float32)),
+                jnp.asarray(pwc.astype(np.float32)),
+                jnp.asarray(lever.astype(np.float32)))
 
     def _cam_from_body(self, Rwb, pwb):
         R_cw = self.Rcb @ np.asarray(Rwb).T
@@ -1109,17 +1445,13 @@ class MonoTracker:
         slots = self._preint_tail_time(icfg.init_window_t)
         if len(slots) < 6:
             return
-        body = [self._body_from_cam(np.asarray(self.ms.kf_R[s]),
-                                    np.asarray(self.ms.kf_t[s]))
-                for s in slots]
-        Rwb = jnp.asarray(np.stack([b[0] for b in body]))
-        pwb = jnp.asarray(np.stack([b[1] for b in body]))
+        Rwb, pwc, lever = self._init_body_terms(slots)
         stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs),
             *[self.kf_preint[s] for s in slots[1:]])
         res = vi_ba.inertial_init(
-            Rwb, pwb, stacked, jnp.ones((len(slots) - 1,), bool),
-            gravity_mag=self.cfg.imu.gravity,
+            Rwb, pwc, stacked, jnp.ones((len(slots) - 1,), bool),
+            gravity_mag=self.cfg.imu.gravity, lever=lever,
         )
         s = float(res.scale)
         if os.environ.get("TPUSLAM_VI_DEBUG"):
@@ -1216,7 +1548,7 @@ class MonoTracker:
         self._map_updated = True
         self.prior_H = None
         self.body_state = None
-        self._win_cache_key = None
+        self._invalidate_window()
 
     def _imu_stage_ladder(self):
         """Post-init refinement staging (LocalMapping::Run,
@@ -1238,11 +1570,13 @@ class MonoTracker:
         if self._imu_stage == 0 and t_init > icfg.viba1_t:
             self._imu_stage = 1
             self._last_scale_ref = t_init
-            self._inertial_refine(prior_g=1e2, prior_a=1e5, tag="viba1")
+            self._inertial_refine(prior_g=1e2, prior_a=1e5, tag="viba1",
+                                  s_range=(0.4, 2.5))
         elif self._imu_stage == 1 and t_init > icfg.viba2_t:
             self._imu_stage = 2
             self._last_scale_ref = t_init
-            self._inertial_refine(prior_g=1e2, prior_a=1e4, tag="viba2")
+            self._inertial_refine(prior_g=1e2, prior_a=1e4, tag="viba2",
+                                  s_range=(0.5, 2.0))
         elif t_init > self._last_scale_ref + icfg.scale_ref_interval:
             self._last_scale_ref = t_init
             # Periodic refinement re-runs the FULL inertial-only problem
@@ -1280,7 +1614,8 @@ class MonoTracker:
         return tail[::-1]
 
     def _preint_tail_time(self, min_span: float, need_vel: bool = False,
-                          sizes=(9, 13, 17, 21, 25, 33)):
+                          sizes=(9, 13, 17, 21, 25, 33),
+                          max_span: float = None):
         """Most recent consecutive preint tail whose inertial edges span
         >= min_span seconds of IMU time. Keyframe cadence is adaptive
         (ratio-gated), so a fixed-COUNT window can span arbitrarily
@@ -1288,20 +1623,35 @@ class MonoTracker:
         (the reference windows InitializeIMU by minTime, not count,
         src/LocalMapping.cc:1443). Window lengths are quantized to a few
         sizes so the stacked inertial problem compiles O(1) times.
-        Returns [] if the chain cannot span the time yet."""
+
+        Prefers the LARGEST window within max_span (default 4x
+        min_span): the reference's InitializeIMU runs on ALL keyframes,
+        and for good reason — minimum-span windows barely cover one
+        excitation cycle, and consecutive scale estimates scatter 2-3x
+        (measured 1.9/5.0/3.65 on the orbit fixture); quadrupling the
+        span stabilizes them. Returns [] if the chain cannot span
+        min_span yet."""
         tail = self._preint_tail(sizes[-1], need_vel=need_vel)
         if len(tail) < 3:
             return []
         dts = [float(self.kf_preint[s].dT) for s in tail[1:]]
+        if max_span is None:
+            max_span = 4.0 * min_span
+        best = None
         for n in sizes:
             if n > len(tail):
                 break
-            if sum(dts[-(n - 1):]) >= min_span:
-                return tail[-n:]
-        return []
+            span = sum(dts[-(n - 1):])
+            if span < min_span:
+                continue
+            if best is not None and span > max_span:
+                break
+            best = n
+        return tail[-best:] if best else []
 
     def _inertial_refine(self, prior_g: float, prior_a: float,
-                         tag: str = "refine"):
+                         tag: str = "refine",
+                         s_range: tuple = (0.77, 1.3)):
         """Re-run the full inertial-only estimation (velocities, biases,
         gravity direction, scale; poses fixed) over the recent keyframe
         chain and absorb the residual similarity correction, then joint
@@ -1309,7 +1659,15 @@ class MonoTracker:
         VIBA1 (1, 1e5) / VIBA2 (0, 0), src/LocalMapping.cc:230-253 —
         and also serves as the periodic mono scale refinement
         (ScaleRefinement role, :1646; see _imu_stage_ladder for why the
-        full problem replaces the scale+gdir-only variant)."""
+        full problem replaces the scale+gdir-only variant).
+
+        `s_range` gates the applied scale correction. The VIBA1/VIBA2
+        re-init stages pass a wide range: the FIRST init's scale is
+        rough by design (single-window estimates on a drifting young
+        map scatter 2x — measured 1.9/5.0/3.65 on consecutive
+        attempts), and these stages exist precisely to absorb that. The
+        steady-state scale-ref keeps the tight default so a bad window
+        cannot de-calibrate a settled metric map."""
         from tpuslam.solver import vi_ba
 
         # Same time-span rule as init: short windows make scale/gravity
@@ -1317,40 +1675,38 @@ class MonoTracker:
         slots = self._preint_tail_time(self.cfg.imu.init_window_t)
         if len(slots) < 5:
             return
-        body = [self._body_from_cam(np.asarray(self.ms.kf_R[s]),
-                                    np.asarray(self.ms.kf_t[s]))
-                for s in slots]
-        Rwb = jnp.asarray(np.stack([b[0] for b in body]))
-        pwb = jnp.asarray(np.stack([b[1] for b in body]))
+        Rwb, pwc, lever = self._init_body_terms(slots)
         stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs),
             *[self.kf_preint[s] for s in slots[1:]])
         res = vi_ba.inertial_init(
-            Rwb, pwb, stacked, jnp.ones((len(slots) - 1,), bool),
-            gravity_mag=self.cfg.imu.gravity,
+            Rwb, pwc, stacked, jnp.ones((len(slots) - 1,), bool),
+            gravity_mag=self.cfg.imu.gravity, lever=lever,
             prior_g=prior_g, prior_a=prior_a,
         )
         s = float(res.scale)
         if os.environ.get("TPUSLAM_VI_DEBUG"):
             print(f"[{tag}] s={s:.3f} bg={np.asarray(res.bg).round(4)}"
                   f" ba={np.asarray(res.ba).round(4)}", flush=True)
-        # The map is already ~metric: reject corrections that claim
-        # otherwise (bad window/ill-conditioned refit) instead of
-        # applying them. Gates: scale correction small, the free-gravity
-        # linear check still physical, and biases at sensor-plausible
-        # magnitudes (|ba| ~1 m/s^2 means the problem dumped visual
-        # drift into the accelerometer — measured failure mode).
-        if not np.isfinite(s) or not (0.77 < s < 1.3):
+        # Gates. Scale/gravity and biases are gated SEPARATELY: the
+        # inertial-only problem (poses fixed) dumps visual position
+        # drift into the accelerometer bias, so its ba estimate can be
+        # garbage (measured |ba|~0.5-2 m/s^2) while its scale/gravity
+        # solution is excellent (measured s=1.004 on a 1.36x-off map in
+        # the same solve). Rejecting the whole result for a bad ba
+        # threw away exactly the correction the ladder exists to make;
+        # instead apply the similarity and let the joint window BA —
+        # where poses and biases trade off properly — re-estimate ba.
+        if not np.isfinite(s) or not (s_range[0] < s < s_range[1]):
             return
         if abs(float(res.g_lin_norm) - self.cfg.imu.gravity) > 0.5:
             return
-        if (float(np.max(np.abs(res.ba))) > 0.3
-                or float(np.max(np.abs(res.bg))) > 0.2):
-            return
         Rgw_np = np.asarray(res.Rwg).T
         self._apply_scaled_rotation(s, Rgw_np)
-        self.bg = np.asarray(res.bg)
-        self.ba = np.asarray(res.ba)
+        if float(np.max(np.abs(res.bg))) < 0.2:
+            self.bg = np.asarray(res.bg)
+        if float(np.max(np.abs(res.ba))) < 0.3:
+            self.ba = np.asarray(res.ba)
         vel_out = np.asarray(res.vel)
         for i, s_kf in enumerate(slots):
             self.kf_vel[s_kf] = Rgw_np @ vel_out[i]
@@ -1422,7 +1778,7 @@ class MonoTracker:
         )
         res = vi_ba.optimize_vi(
             win, self.cam_params, self.gravity_w,
-            self.walk_info, iters=iters)
+            self.walk_info, iters=iters, model=self.model)
 
         # Write back: poses (Tcw from body), points, bias/velocities.
         R_cw = jnp.einsum("ij,kaj->kia", Rcb_j, res.Rwb)
@@ -1431,9 +1787,14 @@ class MonoTracker:
         if os.environ.get("TPUSLAM_VI_DEBUG"):
             obs = jnp.any(prob.obs_mask, axis=0)
             dp = jnp.linalg.norm(res.pwb[:n] - pwb[:n], axis=-1)
+            nan_in = (bool(jnp.isnan(pwb[:n]).any())
+                      or bool(jnp.isnan(win.vel[:n]).any())
+                      or bool(jnp.isnan(stacked.cov[:n - 1]).any()))
             print(f"[viba-win] n={n} obs_pts={int(jnp.sum(obs))} "
                   f"culled={int(jnp.sum(obs & ~keep))} "
                   f"max|dp|={float(jnp.max(dp)):.4f} "
+                  f"chi2={float(res.total_chi2):.1f} "
+                  f"nan_in={nan_in} nan_out={bool(jnp.isnan(res.pwb).any())} "
                   f"inl_frac={float(jnp.sum(res.inlier) / jnp.maximum(jnp.sum(win.obs_mask), 1)):.3f}",
                   flush=True)
         self.ms = mapstate.scatter_ba_result(
@@ -1479,7 +1840,7 @@ class MonoTracker:
                 jnp.asarray(kfR), jnp.asarray(kfp), jnp.asarray(kf_vel),
                 self.cur_preint, X_w, feats.uv, inv_s2, vvalid,
                 self.cam_params, Rcb_j, tcb_j, self.gravity_w,
-                self.walk_info)
+                self.walk_info, model=self.model)
             prior_H = res.H
         else:
             if self.frame_preint is None:
@@ -1492,7 +1853,7 @@ class MonoTracker:
                 *args,
                 self.frame_preint, X_w, feats.uv, inv_s2, vvalid,
                 self.cam_params, Rcb_j, tcb_j, self.gravity_w,
-                self.walk_info)
+                self.walk_info, model=self.model)
             prior_H = res.H_marg
         self._map_updated = False
         n_vi = int(res.n_inliers)
@@ -1512,16 +1873,29 @@ class MonoTracker:
         self.body_state = (Rwb_np, pwb_np)
         return R2, t2, n_vi
 
-    def _track(self, feats: FrameFeatures) -> FrameResult:
+    def _track(self, feats: FrameFeatures, reentry: bool = False
+               ) -> FrameResult:
         tcfg = self.cfg.tracking
         if (self.cfg.sensor == "imu_mono" and self.imu_initialized
                 and self.frame_preint is not None):
             R_pred, t_pred, vel_pred = self._imu_predict()
             self._vel_pred = vel_pred
         else:
-            # Constant-velocity motion model.
-            R_pred = jnp.asarray(self.vel_R @ self.last_R)
-            t_pred = jnp.asarray(self.vel_R @ self.last_t + self.vel_t)
+            # Constant-velocity motion model, scaled to the actual
+            # inter-frame interval (the stored step was measured over
+            # _prev_dt seconds; rotation rescales on the so3 manifold,
+            # translation linearly).
+            a = self._cur_dt / max(self._prev_dt, 1e-6)
+            if abs(a - 1.0) > 1e-3:
+                from tpuslam.geometry import lie
+                w = np.asarray(lie.so3_log(jnp.asarray(self.vel_R)))
+                vel_R = np.asarray(lie.so3_exp(jnp.asarray(
+                    w * a, jnp.float32)))
+                vel_t = self.vel_t * a
+            else:
+                vel_R, vel_t = self.vel_R, self.vel_t
+            R_pred = jnp.asarray(vel_R @ self.last_R)
+            t_pred = jnp.asarray(vel_R @ self.last_t + vel_t)
             self._vel_pred = None
 
         kf_ids, _, mp_ids, _ = self._window()
@@ -1540,24 +1914,56 @@ class MonoTracker:
                 self.ms.mp_dist_max[safe],
                 feats, self.cam_params, self.scale_lut, self.inv_sigma2_lut,
                 self.img_wh, sched=sched,
+                # Dead-reckoned re-entry keeps the NORMAL window: wide
+                # windows false-lock under GN (alias-consistent fits);
+                # large prediction drift is _reenter_local_pnp's job
+                # (RANSAC consensus), which runs before this retry.
+                radius1=15.0,
                 level_widen=(self.cfg.sensor == "imu_mono"),
+                model=self.model,
             )
             n_inl = int(n_inl)
-        if not self.frozen:
+        if os.environ.get("TPUSLAM_TRACK_DEBUG"):
+            c_pred = -np.asarray(R_pred).T @ np.asarray(t_pred)
+            c_fit = -np.asarray(R).T @ np.asarray(t)
+            print(f"[track] reentry={reentry} ninl={n_inl} "
+                  f"|pred-fit|={np.linalg.norm(c_pred - c_fit):.3f} "
+                  f"nvis={int(jnp.sum(visible_ids >= 0))} "
+                  f"nfound={int(jnp.sum(found_ids >= 0))}", flush=True)
+        # Re-entry needs a SOLID lock (reference: >=15 VIO inliers,
+        # src/Tracking.cc:3113) — accepting a marginal fit here poisons
+        # the velocity/prior chain and the next dead-reckoning diverges
+        # (measured: a 15-inlier re-entry at 48 px radius sent |vel|
+        # 1.7 -> 7 m/s over the following grace period).
+        min_ok = max(tcfg.min_inliers_track, 15) if reentry \
+            else tcfg.min_inliers_track
+        if n_inl >= min_ok and not self.frozen:
+            # Stats only for frames that actually lock: blank/lost
+            # frames would otherwise decay found/visible for every
+            # predicted-visible point and the next culling pass
+            # massacres a perfectly good map (measured on the blackout
+            # fixture: 550 visible x 10 blank frames).
             self.ms = mapstate.update_point_stats(self.ms, visible_ids,
                                                   found_ids)
-
-        if n_inl < tcfg.min_inliers_track:
-            self.state = "LOST"
+        if n_inl < min_ok:
             if self.cfg.sensor == "imu_mono":
                 self.prior_H = None     # the marginal chain is broken
                 self.body_state = None
+                if self.imu_initialized:
+                    # Two-stage loss: a metric-IMU session dead-reckons
+                    # through a grace period before giving up
+                    # (RECENTLY_LOST, src/Tracking.cc:1800).
+                    self.state = "RECENTLY_LOST"
+                    self._lost_t0 = len(self.trajectory)
+                    return FrameResult("RECENTLY_LOST", self.last_R,
+                                       self.last_t, n_inl)
+            self.state = "LOST"
             return FrameResult("LOST", self.last_R, self.last_t, n_inl)
 
         R_np, t_np = np.asarray(R), np.asarray(t)
         vi_applied = False
         if (self.cfg.sensor == "imu_mono" and self.imu_initialized
-                and self.enable_pose_vi):
+                and self.enable_pose_vi and not reentry):
             # Live VI pose refinement on the frame's associations
             # (PoseInertialOptimizationLastKeyFrame/LastFrame,
             # Optimizer.cc:7608/8009 — called from TrackLocalMap,
@@ -1568,10 +1974,19 @@ class MonoTracker:
                 R_np, t_np, n_vi = out
                 n_inl = max(n_inl, n_vi)
                 vi_applied = True
-        # Velocity (camera-from-camera relative motion).
-        self.vel_R = R_np @ self.last_R.T
-        self.vel_t = t_np - self.vel_R @ self.last_t
-        if self.cfg.sensor == "imu_mono" and not vi_applied:
+        # Velocity (camera-from-camera relative motion over _cur_dt).
+        # On re-entry the previous pose is the dead-reckoned one — the
+        # step across the gap measures the accumulated drift, not motion
+        # (the reference recomputes mVelocity only from consecutively
+        # tracked frames, src/Tracking.cc:2153-2167).
+        if reentry:
+            self.vel_R = np.eye(3, dtype=np.float32)
+            self.vel_t = np.zeros(3, np.float32)
+        else:
+            self.vel_R = R_np @ self.last_R.T
+            self.vel_t = t_np - self.vel_R @ self.last_t
+        self._prev_dt = self._cur_dt
+        if self.cfg.sensor == "imu_mono" and not vi_applied and not reentry:
             # World-velocity estimate from the OPTIMIZED poses (finite
             # difference): the IMU-propagated velocity is never corrected
             # by vision and its error integrates (bias/gravity residuals)
@@ -1580,11 +1995,21 @@ class MonoTracker:
             # corrected and replaces this.)
             c_prev = -self.last_R.T @ self.last_t
             c_now = -R_np.T @ t_np
-            self.vel = ((c_now - c_prev) * self.cfg.camera.fps
+            self.vel = ((c_now - c_prev) / self._cur_dt
                         ).astype(np.float32)
         self.last_R, self.last_t = R_np, t_np
         self.frames_since_kf += 1
 
+        if (self.cfg.sensor in ("stereo", "rgbd")
+                and self._cur_stereo is not None):
+            # bNeedToInsertClose (src/Tracking.cc:3203): too few tracked
+            # close points while plenty of untracked close depth exists.
+            sm = self._cur_stereo
+            close = sm.valid & (sm.depth < self.depth_th)
+            tracked = assoc >= 0
+            self._need_close = (
+                int(jnp.sum(close & tracked)) < 100
+                and int(jnp.sum(close & ~tracked)) > 70)
         is_kf = self._need_keyframe(n_inl)
         if is_kf:
             self._create_keyframe(feats, R, t, assoc, n_inl)
@@ -1592,14 +2017,23 @@ class MonoTracker:
 
     GBA_WINDOW = 64  # static shape of the global-BA problem
 
+    GBA_SHARDED_MAX = 256     # keyframe capacity of the sharded problem
+    GBA_SHARDED_CAP = 16384   # landmark capacity (sharded dimension)
+
     def run_global_ba(self, iters: int = 12):
         """GlobalBundleAdjustemnt analog (Optimizer.cc:54): one dense BA
         over (up to) the last GBA_WINDOW keyframes — truly global for
-        maps below that size; the sharded variant in parallel/dist_ba
-        scales beyond. Called after loop correction like the reference's
+        maps below that size; beyond it the problem switches to the
+        landmark-sharded engine (parallel/dist_ba) over every local
+        device. Called after loop correction like the reference's
         RunGlobalBundleAdjustment thread (LoopClosing.cc:1440)."""
+        live = [s for s in self.kf_slots if bool(self.ms.kf_valid[s])]
+        if len(live) > self.GBA_WINDOW:
+            self._run_global_ba_sharded(live[-self.GBA_SHARDED_MAX:],
+                                        iters)
+            return
         W = self.GBA_WINDOW
-        slots = [s for s in self.kf_slots if bool(self.ms.kf_valid[s])][-W:]
+        slots = live[-W:]
         n = len(slots)
         if n < 3:
             return
@@ -1612,7 +2046,49 @@ class MonoTracker:
             self.ms, kf_ids_j, cap=self.cfg.map.ba_point_cap)
         self.ms, _ = _run_local_ba(
             self.ms, kf_ids_j, jnp.asarray(fixed), mp_ids, local,
-            self.inv_sigma2_lut, self.cam_params, iters=iters)
+            self.inv_sigma2_lut, self.cam_params, iters=iters,
+            model=self.model)
+        self._invalidate_window()
+
+    def _run_global_ba_sharded(self, slots, iters: int):
+        """Landmark-sharded global BA: the replicated camera system stays
+        small (K<=256 poses) while the landmark blocks shard across all
+        local devices and the reduced Schur system is psum-summed over
+        the mesh (parallel/dist_ba.distributed_optimize; the scale-out
+        design SURVEY.md section 5.7 specifies)."""
+        from jax.sharding import Mesh
+
+        from tpuslam.parallel import dist_ba
+
+        K = self.GBA_SHARDED_MAX
+        n = len(slots)
+        if n < 3:
+            return
+        kf_ids = np.full((K,), -1, np.int32)
+        kf_ids[:n] = slots
+        fixed = np.ones((K,), bool)
+        fixed[2:n] = False
+        kf_ids_j = jnp.asarray(kf_ids)
+        mp_ids, local = mapstate.local_point_ids(
+            self.ms, kf_ids_j, cap=self.GBA_SHARDED_CAP)
+        prob = mapstate.build_ba_problem(
+            self.ms, kf_ids_j, jnp.asarray(fixed), mp_ids, local,
+            self.inv_sigma2_lut)
+        devs = jax.devices()
+        d = 1
+        while d * 2 <= len(devs) and self.GBA_SHARDED_CAP % (d * 2) == 0:
+            d *= 2
+        with self.timer.stage("gba_sharded"):
+            mesh = Mesh(np.asarray(devs[:d]), (dist_ba.AXIS,))
+            res = dist_ba.distributed_optimize(
+                prob, self.cam_params, mesh, iters=iters,
+                model=self.model)
+            keep = (jnp.any(res.inlier, axis=0)
+                    | ~jnp.any(prob.obs_mask, axis=0))
+            self.ms = mapstate.scatter_ba_result(
+                self.ms, kf_ids_j, mp_ids, res.kf_R, res.kf_t,
+                res.points, keep)
+        self._invalidate_window()
 
     def _need_keyframe(self, n_inl: int) -> bool:
         """NeedNewKeyFrame (src/Tracking.cc:3140-3270): ratio condition
@@ -1645,8 +2121,15 @@ class MonoTracker:
             return True
         if n_inl < 15:
             return False
+        stereo = self.cfg.sensor in ("stereo", "rgbd")
+        # c1c: depth-sensor tracking is weak (src/Tracking.cc:3221).
+        if stereo and (n_inl < 0.25 * self.ref_tracked
+                       or self._need_close):
+            return True
+        # thRefRatio: 0.9 mono, 0.75 stereo/RGBD (src/Tracking.cc:3207).
+        ratio = 0.75 if stereo else tcfg.kf_ref_ratio
         c1a = self.frames_since_kf >= tcfg.kf_max_interval
-        c2 = (n_inl < tcfg.kf_ref_ratio * self.ref_tracked
+        c2 = ((n_inl < ratio * self.ref_tracked or self._need_close)
               and self.frames_since_kf >= tcfg.kf_min_interval)
         return c1a or c2
 
@@ -1663,13 +2146,27 @@ class MonoTracker:
         return None
 
     def _create_keyframe(self, feats, R, t, assoc, n_inl: int):
+        """Keyframe superstep DISPATCH (LocalMapping::Run's per-KF
+        pipeline, src/LocalMapping.cc:74). All device work (triangulate,
+        fuse, spawn, local BA, hygiene, culling, redundancy) is enqueued
+        without a single host round trip — the new-point counter chains
+        as a device scalar — and the host-side decisions that need the
+        results (slot bookkeeping, loop closing, stats) run in
+        `_commit_mapping` at the START of the next frame. That is the
+        reference's tracking/mapping thread overlap re-expressed for an
+        async accelerator: the tracker keeps feeding frames while the
+        device chews on the superstep; pure-functional snapshots replace
+        the mutex handshake (SURVEY.md section 7.0). Inertial sessions
+        commit immediately (the IMU init ladder is host-interactive)."""
         # Map-point pool compaction before we add more (slot recycling:
-        # culled points' slots become reusable tail capacity).
+        # culled points' slots become reusable tail capacity). n_mp is
+        # at most one keyframe stale in async mode; the 0.9 margin
+        # covers a full keyframe's worth of spawns.
         if self.n_mp > int(0.9 * self.cfg.map.max_points):
             with self.timer.stage("compaction"):
                 self.ms, n_valid, _ = mapstate.compact_points(self.ms)
                 self.n_mp = int(n_valid)
-                self._win_cache_key = None
+                self._invalidate_window()
         slot = self._alloc_kf_slot()
         if slot is None:
             return
@@ -1677,7 +2174,7 @@ class MonoTracker:
             self.ms = mapstate.add_keyframe(self.ms, slot, R, t, feats,
                                             assoc)
         self.kf_slots.append(slot)
-        self._win_cache_key = None
+        self._invalidate_kf_set()
         self.frames_since_kf = 0
 
         if self.cfg.sensor == "imu_mono" and self.cur_preint is not None:
@@ -1697,6 +2194,7 @@ class MonoTracker:
             else:
                 self._imu_stage_ladder()
 
+        n_mp_dev = jnp.int32(self.n_mp)
         # Triangulate vs up to 2 previous keyframes. (Adding a third,
         # older partner was measured WORSE on the 120-frame fixture:
         # the older pose's drift leaks into the new points.)
@@ -1707,11 +2205,12 @@ class MonoTracker:
                 near_pos = self.ms.mp_pos[near_safe]
                 near_ok = (near_ids >= 0) & self.ms.mp_valid[near_safe]
                 self.ms, n_new = _triangulate_between(
-                    self.ms, prev, slot, jnp.int32(self.n_mp),
+                    self.ms, prev, slot, n_mp_dev,
                     self.cam_params, self.sigma2_lut, near_pos, near_ok,
-                    focal=float(self.cfg.camera.fx),
+                    focal=float(self.cfg.camera.fx), model=self.model,
                 )
-                self.n_mp += int(n_new)
+                n_mp_dev = n_mp_dev + n_new.astype(jnp.int32)
+        self._invalidate_window()   # fuse/BA must gather the new points
 
         # Fuse: densify cross-observations over the recent keyframes.
         with self.timer.stage("fuse"):
@@ -1721,7 +2220,22 @@ class MonoTracker:
                     self.ms, s, fuse_ids, self.cam_params, self.scale_lut,
                     self.inv_sigma2_lut, self.img_wh,
                     level_widen=(self.cfg.sensor == "imu_mono"),
+                    model=self.model,
                 )
+
+        # Depth-sensor near-point spawning for keypoints that stayed
+        # unassociated through tracking + fuse (CreateNewKeyFrame,
+        # src/Tracking.cc:3334-3421).
+        if (self.cfg.sensor in ("stereo", "rgbd")
+                and self._cur_stereo is not None):
+            with self.timer.stage("stereo_spawn"):
+                sm = self._cur_stereo
+                self.ms, n_new = _spawn_stereo_points(
+                    self.ms, slot, sm.depth, sm.valid,
+                    n_mp_dev, self.cam_params, self.scale_lut,
+                    jnp.float32(self.depth_th))
+                n_mp_dev = n_mp_dev + n_new.astype(jnp.int32)
+            self._invalidate_window()
 
         # Local BA: visual on the covisibility window, or the joint VI
         # window once the IMU is initialized (LocalMapping::Run picks
@@ -1731,14 +2245,15 @@ class MonoTracker:
             if (self.cfg.sensor == "imu_mono" and self.imu_initialized
                     and self.enable_viba):
                 self._local_inertial_ba(iters=self.cfg.solver.ba_iters)
-                chi2 = 0.0
+                chi2 = jnp.float32(0.0)
             else:
                 kf_ids, fixed, mp_ids, local = self._window()
                 self.ms, chi2 = _run_local_ba(
                     self.ms, kf_ids, fixed, mp_ids, local,
                     self.inv_sigma2_lut, self.cam_params,
-                    iters=self.cfg.solver.ba_iters,
+                    iters=self.cfg.solver.ba_iters, model=self.model,
                 )
+        self._invalidate_window()   # BA re-gates point validity
         # Map-point hygiene over the refined window: distinctive
         # descriptors + viewing normals + scale ranges
         # (ComputeDistinctiveDescriptors / UpdateNormalAndDepth,
@@ -1750,15 +2265,13 @@ class MonoTracker:
                 self.ms = mapstate.refresh_point_hygiene(
                     self.ms, kf_ids, mp_ids, local, self.scale_lut)
 
-        # Found-ratio culling (MapPointCulling analog).
+        # Found-ratio culling (MapPointCulling analog) + the keyframe
+        # redundancy score, still device-side.
         with self.timer.stage("culling"):
             self.ms = mapstate.cull_points(
                 self.ms, self.cfg.map.cull_found_ratio, min_visible=8)
-            # Keyframe culling (LocalMapping::KeyFrameCulling, th 0.9):
-            # check the 3rd-newest keyframe once the window is warm. In
-            # inertial mode the culled keyframe's preintegration is merged
-            # into its successor so the temporal IMU chain stays intact
-            # (src/LocalMapping.cc:1282-1287).
+            self._invalidate_window()
+            cull_cand, red_dev = None, None
             if len(self.kf_slots) > 6:
                 cand = self.kf_slots[-3]
                 cullable = True
@@ -1772,25 +2285,68 @@ class MonoTracker:
                                 # reference only culls if dt stays < 0.5 s
                                 and float(self.kf_preint[cand].dT
                                           + self.kf_preint[nxt].dT) < 0.5)
-                if cullable and float(
-                        mapstate.keyframe_redundancy(self.ms, cand)) > 0.9:
-                    if self.cfg.sensor == "imu_mono":
-                        from tpuslam.imu import preintegration as pre
-                        idx = self.kf_slots.index(cand)
-                        nxt = self.kf_slots[idx + 1]
-                        self.kf_preint[nxt] = pre.merge(
-                            self.kf_preint[cand], self.kf_preint[nxt],
-                            self._nga, self._walk)
-                    self.ms = mapstate.cull_keyframe(self.ms, cand)
-                    self.kf_slots.remove(cand)
-                    self.free_kf_slots.append(cand)
-                    self._win_cache_key = None
-                    self.kf_preint.pop(cand, None)
-                    self.kf_vel.pop(cand, None)
-                    # Drop it from the retrieval index too, or its stale
-                    # descriptors keep winning loop/reloc candidacy.
-                    self.loop.db = retrieval.unmark_keyframe(self.loop.db,
-                                                             cand)
+                if cullable:
+                    cull_cand = cand
+                    red_dev = mapstate.keyframe_redundancy(self.ms, cand)
+
+        min_obs = 3 if len(self.kf_slots) > 2 else 2
+        self._pending = {
+            "slot": slot,
+            "n_mp": n_mp_dev,
+            "chi2": chi2,
+            "cull_cand": cull_cand,
+            "red": red_dev,
+            "ref": mapstate.kf_tracked_points(self.ms, slot, min_obs),
+        }
+        # Inertial sessions commit in place (the init ladder and the
+        # preintegration bookkeeping are host-interactive anyway);
+        # visual sessions defer the host round trips to the next frame.
+        if (self.cfg.sensor == "imu_mono"
+                or not self.cfg.tracking.async_mapping):
+            self._commit_mapping()
+
+    def _commit_mapping(self):
+        """Superstep COMMIT: fetch the deferred scalars (by now the
+        device has finished or nearly finished the dispatched chain),
+        apply keyframe culling, refresh the KF-decision reference count,
+        and run place recognition (loop + merge) for the new keyframe —
+        the host-decision half of LocalMapping::Run + LoopClosing::Run.
+        Runs at the start of the next `process` call (or immediately in
+        sync/inertial mode), so no tracking decision ever reads a stale
+        value."""
+        p = getattr(self, "_pending", None)
+        if p is None:
+            return
+        self._pending = None
+        slot = p["slot"]
+        self.n_mp = int(p["n_mp"])
+        chi2 = float(p["chi2"])
+
+        # Keyframe culling (LocalMapping::KeyFrameCulling, th 0.9): the
+        # 3rd-newest keyframe once the window is warm. In inertial mode
+        # the culled keyframe's preintegration is merged into its
+        # successor so the temporal IMU chain stays intact
+        # (src/LocalMapping.cc:1282-1287).
+        cand = p["cull_cand"]
+        if cand is not None and cand in self.kf_slots \
+                and float(p["red"]) > 0.9:
+            if self.cfg.sensor == "imu_mono":
+                from tpuslam.imu import preintegration as pre
+                idx = self.kf_slots.index(cand)
+                nxt = self.kf_slots[idx + 1]
+                self.kf_preint[nxt] = pre.merge(
+                    self.kf_preint[cand], self.kf_preint[nxt],
+                    self._nga, self._walk)
+            self.ms = mapstate.cull_keyframe(self.ms, cand)
+            self.kf_slots.remove(cand)
+            self.free_kf_slots.append(cand)
+            self._invalidate_kf_set()
+            self.kf_preint.pop(cand, None)
+            self.kf_vel.pop(cand, None)
+            # Drop it from the retrieval index too, or its stale
+            # descriptors keep winning loop/reloc candidacy.
+            self.loop.db = retrieval.unmark_keyframe(self.loop.db,
+                                                     cand)
 
         # Reference tracked-point count for the KF-insertion ratio gate:
         # the new keyframe's multi-observed map points
@@ -1800,9 +2356,7 @@ class MonoTracker:
         # ratio*prev, so the threshold decays geometrically (100 -> 95
         # -> ... -> 25) until the tracker runs at the 15-inlier cliff
         # and one bad frame kills it.
-        min_obs = 3 if len(self.kf_slots) > 2 else 2
-        self.ref_tracked = max(
-            int(mapstate.kf_tracked_points(self.ms, slot, min_obs)), 1)
+        self.ref_tracked = max(int(p["ref"]), 1)
 
         # Loop closing (LoopClosing::Run per-keyframe logic).
         if self.enable_loop_closing:
@@ -1819,12 +2373,24 @@ class MonoTracker:
                         self.ms = loop_closing.correct_loop(
                             self.loop, self.ms, slot, cand, self.kf_slots,
                             s_cl, R_cl, t_cl,
-                            # Metric maps (IMU-initialized) lock scale —
-                            # the 4-DoF-variant role (Optimizer.cc:8520).
-                            fix_scale=self.imu_initialized)
+                            # IMU-initialized maps are metric AND
+                            # gravity-aligned: lock scale and bend only
+                            # yaw+translation (the 4-DoF essential
+                            # graph, Optimizer.cc:8520).
+                            fix_scale=self.imu_initialized,
+                            gravity_w=(self.gravity_w
+                                       if self.imu_initialized else None))
+                        # Fuse duplicate landmarks across the seam
+                        # BEFORE global BA (SearchAndFuse,
+                        # LoopClosing.cc:2631): the cross-seam
+                        # observations it creates are what keep GBA
+                        # from pulling the loop ends apart again.
+                        self.ms, _ = loop_closing.seam_fuse(
+                            self.ms, self.kf_slots, slot, cand)
                         # Post-loop global refinement
                         # (RunGlobalBundleAdjustment analog).
                         self.run_global_ba()
+                        self._invalidate_window()  # poses+points moved
                         self.last_R = np.asarray(self.ms.kf_R[slot])
                         self.last_t = np.asarray(self.ms.kf_t[slot])
                         self.vel_R = np.eye(3, dtype=np.float32)
