@@ -337,3 +337,91 @@ def test_loop_detect_verify_correct(drifted_map):
     err_after = float(jnp.linalg.norm(
         ms2.kf_t[cur] - jnp.asarray(poses[cur][1])))
     assert err_after < 0.5 * err_before, (err_before, err_after)
+
+
+def test_double_loop_with_culled_holes(drifted_map):
+    """Two corrections in one session, over a chain with culled-KF
+    holes: the first loop's Sim3 stays an active edge in the second
+    graph (KeyFrame::AddLoopEdge accumulation, used at
+    /root/reference/src/Optimizer.cc:2414), culled slots must neither
+    anchor the chain nor break the +-1/+-2 adjacency (edges are built
+    over the LIVE keyframe list, not slot arithmetic), and the second
+    correction must still converge."""
+    from tpuslam.mapping import mapstate
+    from tpuslam.tracking import loop_closing
+
+    world, ms, poses, K = drifted_map
+    cam = jnp.asarray(world.cam)
+    ls = loop_closing.LoopState.create(64)
+    ls.min_gap = 8
+    for k in range(K):
+        loop_closing.on_new_keyframe(ls, ms, k)
+
+    # Cull two mid-chain keyframes -> holes in the slot sequence.
+    kf_slots = list(range(K))
+    for c in (10, 17):
+        ms = mapstate.cull_keyframe(ms, c)
+        kf_slots.remove(c)
+        ls.db = retrieval.unmark_keyframe(ls.db, c)
+
+    # First loop: detect on the revisiting tail, verify, correct.
+    cand = None
+    for k in range(K - 4, K):
+        cand = loop_closing.detect_loop(ls, ms, k, kf_slots) or cand
+    assert cand is not None and cand <= 6
+    cur = K - 1
+    ok, s, R, t = loop_closing.verify_loop(
+        ms, cur, cand, cam, jax.random.PRNGKey(0), min_inliers=15)
+    assert ok
+    ms = loop_closing.correct_loop(ls, ms, cur, cand, kf_slots, s, R, t)
+    assert len(ls.loop_edges) == 1
+
+    # Fresh rigid drift on the tail (tracking continued and drifted
+    # again): world-side x' = R2 x + t2 on tail-only points, camera
+    # poses move consistently (Tcw' = [R R2^T, t - R R2^T t2]).
+    tail = kf_slots[-5:]
+    R2 = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.0, 0.03],
+                                            jnp.float32)))
+    t2 = np.array([0.25, -0.15, 0.05], np.float32)
+    obs = np.asarray(ms.kf_obs_mp)
+    in_tail = np.zeros(ms.mp_capacity, bool)
+    in_head = np.zeros(ms.mp_capacity, bool)
+    for s_ in kf_slots:
+        ids = obs[s_]
+        ids = ids[ids >= 0]
+        (in_tail if s_ in tail else in_head)[ids] = True
+    only_tail = in_tail & ~in_head
+    mp_pos = np.array(ms.mp_pos)
+    mp_pos[only_tail] = mp_pos[only_tail] @ R2.T + t2
+    kf_R = np.array(ms.kf_R)
+    kf_t = np.array(ms.kf_t)
+    for s_ in tail:
+        Rk = kf_R[s_] @ R2.T
+        kf_t[s_] = kf_t[s_] - Rk @ t2
+        kf_R[s_] = Rk
+    ms = ms._replace(mp_pos=jnp.asarray(mp_pos),
+                     kf_R=jnp.asarray(kf_R), kf_t=jnp.asarray(kf_t))
+
+    # Second loop closes from a different late keyframe against the
+    # same early region (detection is cooldown-gated after a fresh
+    # correction, so drive verify+correct directly — the machinery
+    # under test is edge accumulation + re-correction).
+    cur2 = kf_slots[-2]
+    ok2, s2, R2v, t2v = loop_closing.verify_loop(
+        ms, cur2, cand, cam, jax.random.PRNGKey(1), min_inliers=15)
+    assert ok2, "second sim3 verification failed"
+    err_before = float(jnp.linalg.norm(
+        ms.kf_t[cur2] - jnp.asarray(poses[cur2][1])))
+    ms2 = loop_closing.correct_loop(ls, ms, cur2, cand, kf_slots,
+                                    s2, R2v, t2v)
+    err_after = float(jnp.linalg.norm(
+        ms2.kf_t[cur2] - jnp.asarray(poses[cur2][1])))
+    assert len(ls.loop_edges) == 2
+    assert err_after < 0.6 * err_before, (err_before, err_after)
+    # Culled slots: never NaN, and their odometry edges were dropped
+    # (edge_valid &= kf_valid) so the live chain converged around them.
+    assert np.isfinite(np.asarray(ms2.kf_t)).all()
+    live_err = [float(jnp.linalg.norm(ms2.kf_t[s_]
+                                      - jnp.asarray(poses[s_][1])))
+                for s_ in kf_slots]
+    assert max(live_err) < 1.0, max(live_err)
