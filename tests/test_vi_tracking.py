@@ -40,8 +40,13 @@ def vi_run():
                     [0, cth, -sth, -0.02],
                     [0, sth, cth, 0.03],
                     [0, 0, 0, 1]], np.float64)
+    # speed_mod=0.8 / 5 cycles: EuRoC-grade excitation. At 0.5/3 the
+    # inertial-only problem is nearly blind to scale (estimates scatter
+    # 1.9-5.0 between consecutive windows and the ladder converges to a
+    # 1.4x-off map); at 0.8/5 the same ladder lands within 4% of metric.
     sim = synthetic.simulate_imu(
-        n_frames, fps=fps, imu_freq=freq, arc=1.2 * np.pi, speed_mod=0.5,
+        n_frames, fps=fps, imu_freq=freq, arc=1.2 * np.pi, speed_mod=0.8,
+        speed_cycles=5.0,
         bias_gyro=(0.002, -0.001, 0.003),
         noise_gyro=1.7e-4 * np.sqrt(freq), noise_acc=2.0e-3 * np.sqrt(freq),
         Tbc=Tbc,
@@ -98,10 +103,11 @@ def test_mono_inertial_metric_scale(vi_run):
     gt = np.stack([-R.T @ t for R, t in sim["poses"]])[ok]
     res = ate.ate(gt, est)
     # Metric scale: Horn's optimal scale must be near 1 (mono-only runs
-    # on this fixture come out at scale ~6); residual error reflects the
-    # coarse first init — the VIBA ladder tightens it on longer runs.
-    assert 0.5 < res.scale < 2.0, f"scale {res.scale} not metric"
-    assert res.rmse < 3.0, res.rmse
+    # on this fixture come out at scale ~6). The VIBA1/VIBA2/scale-ref
+    # ladder converges it to within a few percent (measured 0.976 with
+    # EuRoC-datasheet noise + nontrivial Tbc).
+    assert 0.8 < res.scale < 1.25, f"scale {res.scale} not metric"
+    assert res.rmse < 0.6, res.rmse
 
 
 @pytest.mark.slow
