@@ -56,6 +56,39 @@ def unmark_keyframe(db: RetrievalDB, slot) -> RetrievalDB:
     return RetrievalDB(kf_valid=db.kf_valid.at[slot].set(False))
 
 
+def accumulate_group_scores(scores, covis, min_weight: int = 15,
+                            top_n: int = 10):
+    """Covisibility-group accumulated scores (host numpy, K<=pool size).
+
+    The reference stabilizes place recognition by ranking *groups*: each
+    candidate's score is accumulated over its covisibility group (the
+    candidate plus its best covisible neighbors), and the best keyframe
+    of the best group wins (KeyFrameDatabase::DetectNBestCandidates,
+    /root/reference/src/KeyFrameDatabase.cc:620 — accScore over the
+    top-10 covisibles). A true revisit lights up several neighboring
+    keyframes at once; a perceptual-alias one-off lights up only itself,
+    so group accumulation separates them.
+
+    scores: (K,) raw per-keyframe scores, -1 = excluded/invalid.
+    covis:  (K,K) covisibility weight matrix (shared-point counts).
+    Returns (K,) accumulated scores; excluded slots stay -1.
+    """
+    import numpy as np
+
+    scores = np.asarray(scores)
+    covis = np.asarray(covis)
+    ok = scores >= 0.0
+    contrib = np.where((covis >= min_weight) & ok[None, :],
+                       scores[None, :], 0.0)
+    k = min(top_n, contrib.shape[1])
+    if k < contrib.shape[1]:
+        top = -np.partition(-contrib, k, axis=1)[:, :k]
+    else:
+        top = contrib
+    acc = scores + top.sum(axis=1)
+    return np.where(ok, acc, -1.0)
+
+
 @functools.partial(jax.jit, static_argnames=("chunk", "match_th"))
 def score_keyframes(
     kf_desc,      # (Kmax, N, 8) uint32 — the map's keyframe descriptors

@@ -92,7 +92,18 @@ def detect_loop(ls: LoopState, ms: mapstate.MapState, slot: int,
     scores[slot] = -1.0
     shared = np.asarray(mapstate.covisibility_weights(ms, slot))
     scores[shared >= 15] = -1.0
-    cand = int(np.argmax(scores))
+    # Rank by covisibility-group accumulated score (DetectNBestCandidates'
+    # accScore, KeyFrameDatabase.cc:620): a real revisit lights up a whole
+    # covisible group, a perceptual alias only itself. The winning group's
+    # best RAW keyframe is the candidate; the absolute/margin gates below
+    # still apply to its raw score.
+    covm = np.asarray(mapstate.covisibility_matrix(ms))
+    group = retrieval.accumulate_group_scores(scores, covm)
+    top_group = int(np.argmax(group))
+    in_group = (covm[top_group] >= 15) & (scores >= 0)
+    in_group[top_group] = scores[top_group] >= 0
+    raw_in_group = np.where(in_group, scores, -1.0)
+    cand = int(np.argmax(raw_in_group))
     others = scores[(scores >= 0)]
     baseline = float(np.median(others)) if others.size > 3 else 0.0
     if _DEBUG:
@@ -478,7 +489,13 @@ def relocalize(ls: LoopState, ms: mapstate.MapState, feats, cam_params,
     scores = np.asarray(retrieval.score_keyframes(
         ms.kf_desc, ms.kf_kp_valid, ls.db.kf_valid,
         feats.desc, feats.valid))
-    order = np.argsort(-scores)[:top_k]
+    # Rank candidates by accumulated covisibility-group score
+    # (DetectRelocalizationCandidates, KeyFrameDatabase.cc:814 uses the
+    # same group accumulation as loop detection) — but geometric
+    # verification below still runs per keyframe on raw matches.
+    group = retrieval.accumulate_group_scores(
+        scores, np.asarray(mapstate.covisibility_matrix(ms)))
+    order = np.argsort(-group)[:top_k]
     inv_sigma2_kp = inv_sigma2_lut[jnp.clip(feats.level, 0,
                                             inv_sigma2_lut.shape[0] - 1)]
     bear_all = cameras.unproject(feats.uv, cam_params, model)
