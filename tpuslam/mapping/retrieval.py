@@ -69,6 +69,11 @@ def accumulate_group_scores(scores, covis, min_weight: int = 15,
     keyframes at once; a perceptual-alias one-off lights up only itself,
     so group accumulation separates them.
 
+    The group is each keyframe's top-`top_n` MOST-COVISIBLE neighbors
+    (ranked by shared-point weight, the reference's
+    GetBestCovisibilityKeyFrames(10)) — not the top-scoring neighbors,
+    which would inflate large densely-connected groups.
+
     scores: (K,) raw per-keyframe scores, -1 = excluded/invalid.
     covis:  (K,K) covisibility weight matrix (shared-point counts).
     Returns (K,) accumulated scores; excluded slots stay -1.
@@ -77,15 +82,17 @@ def accumulate_group_scores(scores, covis, min_weight: int = 15,
 
     scores = np.asarray(scores)
     covis = np.asarray(covis)
+    K = scores.shape[0]
     ok = scores >= 0.0
-    contrib = np.where((covis >= min_weight) & ok[None, :],
-                       scores[None, :], 0.0)
-    k = min(top_n, contrib.shape[1])
-    if k < contrib.shape[1]:
-        top = -np.partition(-contrib, k, axis=1)[:, :k]
+    w = np.where((covis >= min_weight) & ok[None, :], covis, -1)
+    k = min(top_n, K)
+    if k < K:
+        top_idx = np.argpartition(-w, k - 1, axis=1)[:, :k]
     else:
-        top = contrib
-    acc = scores + top.sum(axis=1)
+        top_idx = np.broadcast_to(np.arange(K), (K, K)).copy()
+    rows = np.arange(K)[:, None]
+    sel_ok = w[rows, top_idx] > 0
+    acc = scores + np.where(sel_ok, scores[top_idx], 0.0).sum(axis=1)
     return np.where(ok, acc, -1.0)
 
 

@@ -92,6 +92,13 @@ def detect_loop(ls: LoopState, ms: mapstate.MapState, slot: int,
     scores[slot] = -1.0
     shared = np.asarray(mapstate.covisibility_weights(ms, slot))
     scores[shared >= 15] = -1.0
+    # Cheap pre-gate: the full (K,K) covisibility matrix below is a
+    # dense (K, mp_capacity) scatter + matmul; skip it (the common case,
+    # no revisit) when no raw score can pass the absolute gate anyway.
+    if float(np.max(scores)) < ls.min_score:
+        ls.consistency = 0
+        ls.last_candidate = -1
+        return None
     # Rank by covisibility-group accumulated score (DetectNBestCandidates'
     # accScore, KeyFrameDatabase.cc:620): a real revisit lights up a whole
     # covisible group, a perceptual alias only itself. The winning group's
@@ -489,20 +496,35 @@ def relocalize(ls: LoopState, ms: mapstate.MapState, feats, cam_params,
     scores = np.asarray(retrieval.score_keyframes(
         ms.kf_desc, ms.kf_kp_valid, ls.db.kf_valid,
         feats.desc, feats.valid))
-    # Rank candidates by accumulated covisibility-group score
-    # (DetectRelocalizationCandidates, KeyFrameDatabase.cc:814 uses the
-    # same group accumulation as loop detection) — but geometric
-    # verification below still runs per keyframe on raw matches.
-    group = retrieval.accumulate_group_scores(
-        scores, np.asarray(mapstate.covisibility_matrix(ms)))
-    order = np.argsort(-group)[:top_k]
+    # Rank GROUPS by accumulated covisibility score, then reduce each
+    # group to its best RAW-score member and suppress candidates
+    # covisible with an already-selected one
+    # (DetectRelocalizationCandidates, KeyFrameDatabase.cc:814: one
+    # pBestKF per group, so the top-k candidates span distinct places —
+    # members of one group share nearly identical accumulated scores,
+    # and raw score, not group degree, predicts PnP success).
+    covm = np.asarray(mapstate.covisibility_matrix(ms))
+    group = retrieval.accumulate_group_scores(scores, covm)
+    order = []
+    for s in np.argsort(-group):
+        if group[s] < 0 or len(order) >= top_k:
+            break
+        members = np.nonzero((covm[s] >= 15) & (scores >= 0))[0]
+        if scores[s] >= 0:
+            members = np.append(members, s)
+        if members.size == 0:
+            continue
+        rep = int(members[np.argmax(scores[members])])
+        if scores[rep] < 0.05:
+            continue
+        if any(rep == p or covm[rep, p] >= 15 for p in order):
+            continue
+        order.append(rep)
     inv_sigma2_kp = inv_sigma2_lut[jnp.clip(feats.level, 0,
                                             inv_sigma2_lut.shape[0] - 1)]
     bear_all = cameras.unproject(feats.uv, cam_params, model)
     focal = float(cam_params[0])
     for cand in order:
-        if scores[cand] < 0.05:
-            break
         cand = int(cand)
         res = matching.match(
             ms.kf_desc[cand], feats.desc,
