@@ -123,26 +123,40 @@ def main():
         float(jnp.sum(pr))
     dispatch_ms = 1e3 * (time.perf_counter() - t0) / 10
 
-    def scan_timed(body_fn, variants, reps_scale=1.0):
+    def scan_timed(body_fn, variants, min_total_ms=300.0):
         """Honest device ms/call: lax.scan over pre-staged input
         variants inside ONE jitted program; the final scalar fetch is
         the only host round trip (the tunnel's block_until_ready can
-        return early on queued work — a reduced scalar cannot)."""
-        stacked = jnp.stack(variants)
+        return early on queued work — a reduced scalar cannot).
 
-        @jax.jit
-        def run(stacked):
-            def body(c, x):
-                out = body_fn(x)
-                leaf = jax.tree_util.tree_leaves(out)[0]
-                return c + jnp.sum(leaf).astype(jnp.float32), 0.0
-            c, _ = jax.lax.scan(body, jnp.float32(0.0), stacked)
-            return c
-        float(run(stacked))  # compile + warm
-        t0 = time.perf_counter()
-        float(run(stacked))
-        total_ms = 1e3 * (time.perf_counter() - t0)
-        return max((total_ms - dispatch_ms) / len(variants), 0.0)
+        The variant list is TILED until one scan is expected to run
+        >= min_total_ms, so the single ~30 ms dispatch subtraction can
+        never floor a sub-dispatch kernel to 0 (the r02 roofline bug:
+        0.0 ms Hamming -> "10900x roofline")."""
+        def run_once(n_tile):
+            stacked = jnp.stack(variants * n_tile)
+
+            @jax.jit
+            def run(stacked):
+                def body(c, x):
+                    out = body_fn(x)
+                    leaf = jax.tree_util.tree_leaves(out)[0]
+                    return c + jnp.sum(leaf).astype(jnp.float32), 0.0
+                c, _ = jax.lax.scan(body, jnp.float32(0.0), stacked)
+                return c
+            float(run(stacked))  # compile + warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                float(run(stacked))
+                best = min(best, 1e3 * (time.perf_counter() - t0))
+            return best, len(variants) * n_tile
+
+        total_ms, n = run_once(1)
+        if total_ms < min_total_ms:
+            tile = max(2, int(min_total_ms / max(total_ms, 1e-3)) + 1)
+            total_ms, n = run_once(tile)
+        return max(total_ms - dispatch_ms, total_ms * 0.5) / n
 
     # ---- 1) fused tracking step over staged frames (in-jit scan) ----
     poses = synthetic.orbit_trajectory(args.frames, radius=12.0)
@@ -191,15 +205,22 @@ def main():
     fixed = jnp.asarray(np.arange(W) >= cfg.map.local_window)
 
     t0c = time.perf_counter()
-    mp_ids_w, local = mapstate.local_point_ids(ms_map, kf_ids,
-                                               cap=cfg.map.ba_point_cap)
+    # Landmark-axis bucket, exactly as MonoTracker._window picks it.
+    occupancy = int(mapstate.count_window_points(ms_map, kf_ids))
+    cap = 512
+    while cap < min(occupancy, cfg.map.ba_point_cap):
+        cap *= 2
+    cap = min(cap, cfg.map.ba_point_cap)
+    mp_ids_w, local = mapstate.local_point_ids(ms_map, kf_ids, cap=cap)
     kf_t_vars = [ms_map.kf_t + 1e-4 * i for i in range(1, 4)]
     jax.block_until_ready(kf_t_vars)
 
     ba_ms = scan_timed(
         lambda kt: trk._run_local_ba(
             ms_map._replace(kf_t=kt), kf_ids, fixed, mp_ids_w, local,
-            inv_sigma2, cam_params, iters=cfg.solver.ba_iters),
+            inv_sigma2, cam_params, iters=cfg.solver.ba_warm_iters,
+            n_free=cfg.map.local_window,
+            trust_region=cfg.solver.ba_warm_trust_region),
         kf_t_vars)
 
     tri_ms = scan_timed(
@@ -237,7 +258,30 @@ def main():
     amort_ms = track_ms + kf_ms / args.kf_every
     amort_fps = 1e3 / amort_ms
 
-    # ---- 3) matching-kernel roofline (bit-matmul Hamming) ----
+    # ---- 3) kernel rooflines ----
+    # Device ceilings measured IN THIS RUN (the tunnel-attached chip
+    # delivers a small fraction of v5e spec; an honest roofline compares
+    # against what the device actually sustains, and reports both).
+    bw_probe = jnp.ones((2 * 1024 * 1024,), jnp.float32)  # 8 MB
+
+    @jax.jit
+    def _bw(x):
+        def body(c, _):
+            return c * 1.000001 + 1e-9, 0.0
+        c, _ = jax.lax.scan(body, x, None, length=20)
+        return jnp.sum(c)
+    float(_bw(bw_probe))
+    t0 = time.perf_counter()
+    float(_bw(bw_probe))
+    copy_gbs = 20 * 2 * 8 / 1024 / (time.perf_counter() - t0)
+
+    mm_a = jnp.asarray(np.random.default_rng(2).normal(
+        size=(1024, 1024)).astype(np.float32))
+    mm_ms = scan_timed(lambda a: (a @ mm_a)[:8, :8], [mm_a + i
+                                                      for i in range(3)])
+    mm_tflops = 2 * 1024 ** 3 / (mm_ms * 1e-3) / 1e12
+
+    # Matching kernel: bit-matmul Hamming (1024 query x 4096 db).
     from tpuslam.frontend import matching
     da = jnp.asarray(np.random.default_rng(0).integers(
         0, 2**32, size=(1024, 8), dtype=np.uint64).astype(np.uint32))
@@ -249,8 +293,21 @@ def main():
     ham_ms = scan_timed(lambda a: matching.hamming_matrix(a, db), ham_vars)
     # one (1024,256)x(256,4096) MAC pass over unpacked bits
     ham_flops = 2.0 * 1024 * 4096 * 256
-    ham_tflops = ham_flops / max(ham_ms, 1e-6) / 1e9
-    peak_tflops = 197.0 if not args.cpu else float("nan")  # v5e bf16
+    ham_tflops = ham_flops / (ham_ms * 1e-3) / 1e12
+    peak_tflops = 197.0 if not args.cpu else float("nan")  # v5e bf16 spec
+
+    # Local-BA roofline: the LM iteration is HBM-bound. Ideal traffic
+    # model (write+read once, unpadded f32): projection/residual planes
+    # (~8 K*Mb), J3 (3 K*R*Mb), J6 (6 F*R*Mb), W/WVinv (2*18 F*Mb),
+    # Schur matmul re-reads (12 F*Mb), V/bp/cost (~8 K*Mb).
+    F = cfg.map.local_window
+    R_rows = 2
+    it = cfg.solver.ba_warm_iters
+    ba_bytes = 4.0 * cap * it * (
+        16 * W + 3 * W * R_rows + 6 * F * R_rows + 36 * F + 12 * F)
+    ba_gbs = ba_bytes / (ba_ms * 1e-3) / 1e9
+    ba_gflops = it * (6 * (6 * F) ** 2 * cap + 2 * F * 36 * R_rows * cap
+                      + 150 * W * cap) / 1e9
 
     print(json.dumps({
         "metric": "mono_amortized_fps",
@@ -268,12 +325,20 @@ def main():
             "hygiene_ms": round(hyg_ms, 2),
             "cull_ms": round(cull_ms, 2),
             "ba_window": f"{cfg.map.local_window}+{cfg.map.local_fixed}kf"
-                         f"/{cfg.map.ba_point_cap}pt",
+                         f"/{cap}pt(bucket, occ={occupancy})",
+            "ba_iters": cfg.solver.ba_warm_iters,
+            "ba_achieved_gbs": round(ba_gbs, 2),
+            "ba_roofline_frac_vs_device_bw": round(ba_gbs / copy_gbs, 3),
+            "ba_gflop": round(ba_gflops, 2),
             "hamming_1024x4096_ms": round(ham_ms, 3),
-            "matching_tflops": round(ham_tflops, 2),
-            "matching_roofline_frac": (round(ham_tflops / peak_tflops, 3)
-                                       if peak_tflops == peak_tflops
-                                       else None),
+            "matching_tflops": round(ham_tflops, 4),
+            "matching_roofline_frac_vs_spec": (
+                round(ham_tflops / peak_tflops, 6)
+                if peak_tflops == peak_tflops else None),
+            "matching_roofline_frac_vs_device_mxu": round(
+                ham_tflops / mm_tflops, 3),
+            "device_sustained_copy_gbs": round(copy_gbs, 2),
+            "device_sustained_matmul_tflops": round(mm_tflops, 4),
             "dispatch_overhead_ms": round(dispatch_ms, 2),
             "compile_s": round(compile_track_s + max(compile_kf_s, 0.0), 1),
             "bench_wall_s": round(time.perf_counter() - t_bench0, 1),

@@ -109,10 +109,22 @@ class SolverConfig:
     pose_iters: int = 10
     chi2_mono: float = 5.991        # Huber delta^2, 2-dof (Optimizer.cc:930)
     chi2_stereo: float = 7.815      # 3-dof (Optimizer.cc:931)
-    ba_iters: int = 10              # local BA LM iterations (5 is ~2x
-                                    # cheaper but provably under-converges:
-                                    # +10x e2e drift on the 80-frame orbit
-                                    # gate — measured both ways)
+    ba_iters: int = 10              # local BA LM iterations for COLD
+                                    # problems (init, GBA, merge weld)
+    ba_warm_iters: int = 8          # per-keyframe window BA: the window
+                                    # overlaps the previous superstep's,
+                                    # so poses/points start warm and a
+                                    # short LM run converges. Measured on
+                                    # the 600-frame ring (ATE m): 8 it =
+                                    # 0.193, 10 it = 0.271, 6 it = 0.541
+                                    # (under the convergence knee) —
+                                    # 8 beats 10 at 20% less cost
+    ba_warm_trust_region: bool = True   # plain GN (False) diverges on
+                                    # the COLD entries each superstep
+                                    # adds (fresh triangulations) —
+                                    # measured: lost at frame ~50 of the
+                                    # 80-frame ring; LM's reject is the
+                                    # shield, keep it
     ba_lambda0: float = 1e-4        # initial LM damping
     dtype: str = "float32"
 

@@ -44,6 +44,10 @@ class MapState(NamedTuple):
     kf_kp_valid: jax.Array  # (K,N)
     kf_response: jax.Array  # (K,N) FAST score (retrieval gates on it)
     kf_obs_mp: jax.Array    # (K,N) int32 map-point id or -1
+    # Rectified-stereo / RGBD virtual right-image u per keypoint
+    # (Frame::mvuRight, /root/reference/include/Frame.h); < 0 = mono
+    # observation. Feeds the 3-dof EdgeStereo residual in BA.
+    kf_ur: jax.Array        # (K,N)
     # Map points.
     mp_pos: jax.Array       # (M,3)
     mp_valid: jax.Array     # (M,)
@@ -78,6 +82,7 @@ def empty(max_kf: int, max_mp: int, n_feat: int, dtype=jnp.float32) -> MapState:
         kf_kp_valid=jnp.zeros((max_kf, n_feat), bool),
         kf_response=jnp.zeros((max_kf, n_feat), dtype),
         kf_obs_mp=jnp.full((max_kf, n_feat), -1, jnp.int32),
+        kf_ur=jnp.full((max_kf, n_feat), -1.0, dtype),
         mp_pos=jnp.zeros((max_mp, 3), dtype),
         mp_valid=jnp.zeros((max_mp,), bool),
         mp_desc=jnp.zeros((max_mp, 8), jnp.uint32),
@@ -91,10 +96,14 @@ def empty(max_kf: int, max_mp: int, n_feat: int, dtype=jnp.float32) -> MapState:
 
 
 @jax.jit
-def add_keyframe(ms: MapState, slot, R, t, feats: FrameFeatures, assoc):
+def add_keyframe(ms: MapState, slot, R, t, feats: FrameFeatures, assoc,
+                 ur=None):
     """Insert a frame as keyframe at `slot`; `assoc` (N,) are the frame's
     map-point associations (mirrors Tracking::CreateNewKeyFrame,
-    /root/reference/src/Tracking.cc:3298)."""
+    /root/reference/src/Tracking.cc:3298). `ur` (N,): per-keypoint
+    right-image u (stereo/RGBD), < 0 = mono."""
+    if ur is None:
+        ur = jnp.full(feats.uv.shape[:1], -1.0, ms.kf_ur.dtype)
     return ms._replace(
         kf_R=ms.kf_R.at[slot].set(R),
         kf_t=ms.kf_t.at[slot].set(t),
@@ -105,6 +114,7 @@ def add_keyframe(ms: MapState, slot, R, t, feats: FrameFeatures, assoc):
         kf_kp_valid=ms.kf_kp_valid.at[slot].set(feats.valid),
         kf_response=ms.kf_response.at[slot].set(feats.response),
         kf_obs_mp=ms.kf_obs_mp.at[slot].set(assoc),
+        kf_ur=ms.kf_ur.at[slot].set(ur),
     )
 
 
@@ -165,6 +175,19 @@ def add_points(
     return ms, jnp.sum(in_cap).astype(jnp.int32)
 
 
+@jax.jit
+def count_window_points(ms: MapState, kf_ids):
+    """Number of distinct valid map points observed by the window —
+    lets the host pick the smallest shape bucket for the BA grid
+    (bandwidth on the landmark axis is the local-BA cost)."""
+    obs = ms.kf_obs_mp[jnp.clip(kf_ids, 0, ms.kf_capacity - 1)]
+    obs = jnp.where((kf_ids >= 0)[:, None], obs, -1)
+    member = jnp.zeros((ms.mp_capacity,), bool).at[
+        jnp.where(obs.reshape(-1) >= 0, obs.reshape(-1), ms.mp_capacity)
+    ].set(True, mode="drop")
+    return jnp.sum(member & ms.mp_valid).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("cap",))
 def local_point_ids(ms: MapState, kf_ids, cap: int):
     """Union of map points observed by the window keyframes `kf_ids` (W,)
@@ -186,7 +209,7 @@ def local_point_ids(ms: MapState, kf_ids, cap: int):
     return mp_ids, local
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("stereo",))
 def build_ba_problem(
     ms: MapState,
     kf_ids,            # (W,) keyframe slots (-1 = unused row)
@@ -194,6 +217,7 @@ def build_ba_problem(
     mp_ids,            # (P,) map-point ids (-1 pad)
     local_of_global,   # (M,)
     inv_sigma2_lut,    # (L,) per-level 1/sigma^2
+    stereo: bool = False,  # gather kf_ur into 3-dof stereo observations
 ) -> BAProblem:
     """Gather the dense (W,P) observation grid for the local-BA window."""
     W = kf_ids.shape[0]
@@ -216,6 +240,10 @@ def build_ba_problem(
                                      inv_sigma2_lut.shape[0] - 1)]
     obs_w = obs_w.at[rows, tgt].set(inv_s2, mode="drop")
     obs_mask = obs_w > 0
+    obs_ur = None
+    if stereo:
+        obs_ur = jnp.full((W, P), -1.0, ms.kf_uv.dtype).at[rows, tgt].set(
+            ms.kf_ur[kf_safe], mode="drop")
 
     pts = ms.mp_pos[jnp.clip(mp_ids, 0, ms.mp_capacity - 1)]
     pt_valid = (mp_ids >= 0) & ms.mp_valid[
@@ -230,6 +258,7 @@ def build_ba_problem(
         obs_uv=obs_uv,
         obs_mask=obs_mask,
         obs_inv_sigma2=obs_w,
+        obs_ur=obs_ur,
     )
 
 

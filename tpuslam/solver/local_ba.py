@@ -6,26 +6,43 @@ a dense, fixed-shape Levenberg-Marquardt:
 
 - Observations are a dense (K keyframes x M points) masked grid — on TPU
   the dense residual/Jacobian grid is cheaper than sparse bookkeeping at
-  local-window sizes (K<=32, M<=8192), and every contraction is an
-  einsum the MXU eats directly.
+  local-window sizes (K<=32, M<=8192).
+- **Landmark-last layout**: every per-observation quantity is (K, ..., M)
+  with the landmark axis LAST (the TPU lane dimension). Jacobians are
+  kept as separate scalar planes (K,M) instead of (K,M,2,6) tensors —
+  trailing dims of 2/6/3 force sub-lane padding and relayouts that
+  dominated the original formulation (measured 9.2 ms vs 0.6 ms per LM
+  iteration at K=24, M=4096 on v5e). The residual rows (u, v[, u_right])
+  are folded into the lane axis so the pose-block Hessian U and the
+  Schur product are plain batched matmuls the MXU eats directly:
+  S_off = (W V^-1)(K6, 3M) @ W^T(3M, K6).
 - The normal system  [[U, W],[W^T, V]] [dc, dp] = [bc, bp]  is reduced by
   eliminating landmarks: S = U - W V^-1 W^T (6K x 6K dense Cholesky),
-  then dp = V^-1 (bp - W^T dc). This IS the reference's BlockSolver
-  landmark marginalization, expressed as three einsums + one small solve.
+  then dp = V^-1 (bp - W^T dc) — the reference's BlockSolver landmark
+  marginalization. V^-1 is a closed-form 3x3 inverse over lane-batched
+  planes (eigh/inv on (M,3,3) arrays relayouts; the plane form doesn't).
 - Fixed keyframes (the one-hop anchor ring, Optimizer.cc:1817-1832) are
   conditioned out by zeroing their rows/cols of S and unit-pinning the
   diagonal, i.e. solving with dc_fixed = 0.
 - Robust Huber reweighting per iteration; LM damping with accept/reject
   on the true masked chi2 (no graph surgery — outliers are weights).
+- **Stereo observations** (rectified-stereo / RGBD virtual right
+  coordinate): pass `obs_ur` (K,M) with the observed right-image u
+  (entries < 0 = mono-only) and `bf` = baseline*fx. Those observations
+  contribute the reference's 3-dof EdgeStereo residual
+  (u, v, u - bf/z) with the chi2_stereo=7.815 gate
+  (/root/reference/include/G2oTypes.h:439, src/Optimizer.cc:931) — one
+  extra residual row folded into the lane axis.
 
 The same routine serves GlobalBundleAdjustment for maps that fit the
-dense grid; the sharded variant for big maps lives in tpuslam.parallel.
+dense grid; the sharded variant for big maps lives in tpuslam.parallel
+(`axis_name` turns every cross-landmark sum into partial-sum + psum).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +51,7 @@ from tpuslam.geometry import cameras
 from tpuslam.solver import factors
 
 CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
 
 
 class BAProblem(NamedTuple):
@@ -45,6 +63,7 @@ class BAProblem(NamedTuple):
     obs_uv: jax.Array      # (K,M,2)
     obs_mask: jax.Array    # (K,M) bool
     obs_inv_sigma2: jax.Array  # (K,M)
+    obs_ur: Optional[jax.Array] = None  # (K,M) right-image u; <0 = mono
 
 
 class BAResult(NamedTuple):
@@ -57,6 +76,7 @@ class BAResult(NamedTuple):
 
 
 def _residuals(prob: BAProblem, kf_R, kf_t, points, cam_params, model):
+    """Compatibility helper (profiling scripts): mono residual grid."""
     Xc = jnp.einsum("kij,mj->kmi", kf_R, points) + kf_t[:, None, :]
     pred = cameras.project(Xc, cam_params, model)
     r = pred - prob.obs_uv
@@ -64,8 +84,92 @@ def _residuals(prob: BAProblem, kf_R, kf_t, points, cam_params, model):
     return r, Xc, chi2
 
 
+def _proj_rows(kf_R, kf_t, points, cam_params, model, bf, has_stereo):
+    """Landmark-last projection + Jacobian planes.
+
+    Returns (u, v, ur, rows) with u/v/ur (K,M) predictions and `rows` a
+    list of per-residual-row tuples (p, q, s) of (K,M) planes — the row
+    of d(residual)/d(X_cam). ur/row 3 only when has_stereo.
+    """
+    Xw = points.T                                        # (3,M)
+    Xc = jnp.einsum("kij,jm->kim", kf_R, Xw) + kf_t[:, :, None]  # (K,3,M)
+    x, y = Xc[:, 0], Xc[:, 1]
+    z = jnp.maximum(Xc[:, 2], 1e-6)
+    zi = 1.0 / z
+    if model == "pinhole":
+        fx, fy, cx, cy = (cam_params[0], cam_params[1], cam_params[2],
+                          cam_params[3])
+        u = fx * x * zi + cx
+        v = fy * y * zi + cy
+        a = fx * zi
+        b = -a * x * zi
+        c = fy * zi
+        d = -c * y * zi
+        zero = jnp.zeros_like(a)
+        rows = [(a, zero, b), (zero, c, d)]
+    else:
+        # Generic camera (KB8): project/Jacobian in (K,M,3) layout, then
+        # peel into planes. The transposes are small relative to the
+        # plane algebra and keep one code path per camera model.
+        Xc_t = jnp.moveaxis(Xc, 1, 2)                    # (K,M,3)
+        uv = cameras.project(Xc_t, cam_params, model)    # (K,M,2)
+        J = cameras.project_jac(Xc_t, cam_params, model)  # (K,M,2,3)
+        u, v = uv[..., 0], uv[..., 1]
+        rows = [(J[..., 0, 0], J[..., 0, 1], J[..., 0, 2]),
+                (J[..., 1, 0], J[..., 1, 1], J[..., 1, 2])]
+    ur = None
+    if has_stereo:
+        # u_right = u - bf/z; d(u_r)/dXc = row_u + [0, 0, bf/z^2].
+        ur = u - bf * zi
+        p, q, s = rows[0]
+        rows = rows + [(p, q, s + bf * zi * zi)]
+    return u, v, ur, rows, Xc
+
+
+def _row_jacobian_planes(row, Xc, kf_R):
+    """Pose (6 planes) + point (3 planes) Jacobian of one residual row.
+
+    row = (p,q,s) = d r / d X_cam. Left-mult tangent [omega, vel]:
+    d X_cam = -hat(X_cam) d omega + d vel; d X_cam = R_cw d X_world.
+    """
+    p, q, s = row
+    x, y, z = Xc[:, 0], Xc[:, 1], Xc[:, 2]
+    zero = jnp.zeros_like(p)
+    j6 = [q * (-z) + s * y,
+          p * z + s * (-x),
+          p * (-y) + q * x,
+          p, q, s]
+    j3 = [p * kf_R[:, 0, j][:, None] + q * kf_R[:, 1, j][:, None]
+          + s * kf_R[:, 2, j][:, None] for j in range(3)]
+    return j6, j3
+
+
+def _inv3x3_planes(V):
+    """Closed-form inverse of a (3,3,M) plane-batched symmetric matrix."""
+    a, b, c = V[0, 0], V[0, 1], V[0, 2]
+    d, e, f = V[1, 0], V[1, 1], V[1, 2]
+    g, h, i = V[2, 0], V[2, 1], V[2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    II = a * e - b * d
+    det = a * A + b * D + c * G
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12,
+                              jnp.where(det < 0, -1e-12, 1e-12), det)
+    return jnp.stack([
+        jnp.stack([A, B, C]), jnp.stack([D, E, F]), jnp.stack([G, H, II])
+    ]) * inv_det
+
+
 @functools.partial(
-    jax.jit, static_argnames=("model", "iters", "use_huber", "axis_name")
+    jax.jit,
+    static_argnames=("model", "iters", "use_huber", "axis_name", "n_free",
+                     "trust_region", "compute_dtype"),
 )
 def optimize(
     prob: BAProblem,
@@ -76,19 +180,48 @@ def optimize(
     chi2_th: float = CHI2_MONO,
     use_huber: bool = True,
     axis_name: str = None,
+    bf: float = 0.0,
+    chi2_th_stereo: float = CHI2_STEREO,
+    n_free: int = None,
+    trust_region: bool = True,
+    compute_dtype: str = "float32",
 ) -> BAResult:
     """When `axis_name` is set, the problem's landmark dimension M is a
     LOCAL shard inside a `shard_map` over that mesh axis: every sum over
-    landmarks (pose-block Hessian U, Schur matrix S, reduced gradient,
-    cost) becomes a partial sum + `psum`, while the landmark-block solve
-    (V^-1, point updates) stays shard-local. That is the distributed-BA
-    layout of SURVEY.md section 5.7: landmark blocks sharded, reduced
-    camera system assembled via collectives over ICI, solved replicated."""
+    landmarks (Schur-reduced camera system, gradient, cost) becomes a
+    partial sum + `psum`, while the landmark-block solve (V^-1, point
+    updates) stays shard-local. That is the distributed-BA layout of
+    SURVEY.md section 5.7: landmark blocks sharded, reduced camera
+    system assembled via collectives over ICI, solved replicated.
+
+    `n_free`: static promise that every keyframe at row >= n_free is
+    FIXED (callers order the window free-first). The pose-block work
+    (J6, U, W, Schur matmul, camera solve) then runs only on the free
+    block — on this device the (6K)^2 Schur product is the whole BA
+    cost, so shrinking K -> n_free is a (K/n_free)^2 saving. Fixed
+    keyframes still contribute observations to the landmark blocks
+    V/bp, exactly like the reference's fixed anchors
+    (Optimizer.cc:1817-1832). None = all rows (legacy layout).
+
+    `trust_region=False` runs damped Gauss-Newton (constant lambda,
+    every step accepted) instead of LM accept/reject — saves the extra
+    cost-evaluation projection pass per iteration; appropriate for
+    warm-started window BA where the basin is known-good.
+
+    `compute_dtype="bfloat16"` carries the Jacobian PLANES and W blocks
+    in bf16 with f32 accumulation (preferred_element_type) — the BA
+    iteration is HBM-bandwidth-bound, so halving plane bytes ~halves
+    iteration time. Residuals/costs/solves stay f32: residuals are
+    small DIFFERENCES of large pixel coordinates (must subtract in
+    f32), while Jacobian entries tolerate bf16's 0.4% rounding (they
+    only steer the descent direction; Huber reweighting perturbs them
+    more than that)."""
     K = prob.kf_R.shape[0]
     M = prob.points.shape[0]
+    F = K if n_free is None else n_free
     dtype = prob.kf_R.dtype
-    eyeK6 = jnp.eye(6 * K, dtype=dtype)
-    eye3 = jnp.eye(3, dtype=dtype)
+    has_stereo = prob.obs_ur is not None
+    n_rows = 3 if has_stereo else 2
 
     if axis_name is not None:
         allreduce = lambda x: jax.lax.psum(x, axis_name)  # noqa: E731
@@ -97,61 +230,132 @@ def optimize(
 
     mask = prob.obs_mask & prob.pt_valid[None, :]
     maskf = mask.astype(dtype)
+    obs_u = prob.obs_uv[..., 0]
+    obs_v = prob.obs_uv[..., 1]
+    if has_stereo:
+        st_mask = mask & (prob.obs_ur > 0)
+        stf = st_mask.astype(dtype)
+        th = jnp.where(st_mask, chi2_th_stereo, chi2_th)
+    else:
+        th = jnp.full((K, M), chi2_th, dtype)
 
-    def masked_chi2(kf_R, kf_t, points):
-        _, _, chi2 = _residuals(prob, kf_R, kf_t, points, cam_params, model)
-        return allreduce(
-            jnp.sum(jnp.where(mask, jnp.minimum(chi2, 4.0 * chi2_th), 0.0))
-        )
+    def chi2_of(kf_R, kf_t, points):
+        u, v, ur, rows, Xc = _proj_rows(kf_R, kf_t, points, cam_params,
+                                        model, bf, has_stereo)
+        ru = u - obs_u
+        rv = v - obs_v
+        c2 = ru * ru + rv * rv
+        rr = None
+        if has_stereo:
+            rr = (ur - prob.obs_ur) * stf
+            c2 = c2 + rr * rr
+        return c2 * prob.obs_inv_sigma2, (ru, rv, rr), rows, Xc
+
+    def cost_from_chi2(c2):
+        return allreduce(jnp.sum(jnp.where(mask, jnp.minimum(c2, 4.0 * th),
+                                           0.0)))
+
+    def masked_cost(kf_R, kf_t, points):
+        c2, _, _, _ = chi2_of(kf_R, kf_t, points)
+        return cost_from_chi2(c2)
+
+    # Condition on fixed poses inside the free block (padding rows and,
+    # in the legacy n_free=None layout, interleaved anchors):
+    # dc_fixed = 0 by zeroing rows/cols + unit diagonal.
+    free = (~prob.kf_fixed[:F]).astype(dtype)
+    fmask = jnp.repeat(free, 6)
+    eyeF6 = jnp.eye(6 * F, dtype=dtype)
 
     def lm_step(carry, _):
         kf_R, kf_t, points, lam, prev_cost = carry
-        r, Xc, chi2 = _residuals(prob, kf_R, kf_t, points, cam_params, model)
+        chi2, (ru, rv, rr), rows, Xc = chi2_of(kf_R, kf_t, points)
         w = prob.obs_inv_sigma2 * maskf
         if use_huber:
-            w = w * factors.huber_weight(chi2, chi2_th)
+            w = w * factors.huber_weight(chi2, th)
+        res_rows = [ru, rv] + ([rr] if has_stereo else [])
+        w_rows = [w, w] + ([w * stf] if has_stereo else [])
 
-        J_pose, J_point = factors.reproj_jacobians(
-            Xc, kf_R[:, None], cam_params, model
-        )  # (K,M,2,6), (K,M,2,3)
+        # Per-row Jacobian planes. J3 spans all K rows (fixed anchors
+        # constrain the points); J6 only the free block [:F].
+        J6_rows, J3_rows = [], []
+        for row in rows:
+            j6, j3 = _row_jacobian_planes(row, Xc, kf_R)
+            J6_rows.append([p[:F] for p in j6])
+            J3_rows.append(j3)
+        # Lane-folded blocks: residual rows concatenated into the lane
+        # (last) axis, so contractions are clean (.., 6|3, R*M) matmuls.
+        cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else dtype
+        acc = {"preferred_element_type": dtype}
+        J6 = jnp.stack([jnp.concatenate([J6_rows[r][i]
+                                         for r in range(n_rows)], -1)
+                        for i in range(6)], 1).astype(cdt)   # (F,6,RM)
+        J3 = jnp.stack([jnp.concatenate([J3_rows[r][i]
+                                         for r in range(n_rows)], -1)
+                        for i in range(3)], 1).astype(cdt)   # (K,3,RM)
+        wlanes = jnp.concatenate(w_rows, -1)             # (K,RM) f32
+        rwlanes = (jnp.concatenate(res_rows, -1)
+                   * wlanes).astype(cdt)                 # (K,RM) w-folded
 
-        U = allreduce(jnp.einsum("kmri,km,kmrj->kij", J_pose, w, J_pose))
-        V = jnp.einsum("kmri,km,kmrj->mij", J_point, w, J_point)  # (M,3,3) local
-        Wb = jnp.einsum("kmri,km,kmrj->kmij", J_pose, w, J_point)  # (K,M,6,3)
-        bc = -allreduce(jnp.einsum("kmri,km,kmr->ki", J_pose, w, r))
-        bp = -jnp.einsum("kmri,km,kmr->mi", J_point, w, r)       # (M,3) local
+        J6w = J6 * wlanes[:F, None, :].astype(cdt)
+        U = jnp.einsum("kim,kjm->kij", J6w, J6, **acc)   # (F,6,6)
+        bc = -jnp.einsum("kim,km->ki", J6.astype(cdt), rwlanes[:F],
+                         **acc)                          # (F,6)
+        J3w = J3 * wlanes[:, None, :].astype(cdt)
+        # Landmark blocks are per-point m: sum rows blockwise.
+        V = sum(jnp.einsum("kim,kjm->ijm",
+                           J3w[..., r * M:(r + 1) * M],
+                           J3[..., r * M:(r + 1) * M], **acc)
+                for r in range(n_rows))                  # (3,3,M) f32
+        bp = -sum(jnp.einsum("kim,km->im",
+                             J3[..., r * M:(r + 1) * M],
+                             rwlanes[..., r * M:(r + 1) * M], **acc)
+                  for r in range(n_rows))                # (3,M) f32
+        # W blocks as THREE (F,6,M) planes (point-coordinate l last-2
+        # dims stay (6,M) -> no sublane padding; a (F,6,3,M) tensor pads
+        # 3 -> 8 and costs 2.7x the bytes on TPU tiling).
+        Wl = [sum(J6w[..., r * M:(r + 1) * M]
+                  * J3[:F, None, l, r * M:(r + 1) * M]
+                  for r in range(n_rows)) for l in range(3)]
 
         # LM damping (additive, Levenberg).
         U = U + lam * jnp.eye(6, dtype=dtype)[None]
-        V = V + lam * eye3[None]
-        Vinv = jnp.linalg.inv(V)                                  # (M,3,3)
+        V = V + lam * jnp.eye(3, dtype=dtype)[:, :, None]
+        Vinv = _inv3x3_planes(V)                         # (3,3,M) f32
 
-        WVinv = jnp.einsum("kmij,mjl->kmil", Wb, Vinv)            # (K,M,6,3)
-        S_off = allreduce(jnp.einsum("kmil,qmjl->kiqj", WVinv, Wb))
-        S = -S_off
-        S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(U)
-        S = S.reshape(6 * K, 6 * K)
-        bred = (bc - allreduce(jnp.einsum("kmil,ml->ki", WVinv, bp))
-                ).reshape(-1)
+        WVl = [sum(Wl[j] * Vinv[j, l][None, None].astype(cdt)
+                   for j in range(3)) for l in range(3)]  # 3x (F,6,M)
+        S = -sum(jax.lax.dot_general(
+            WVl[l].reshape(F * 6, M), Wl[l].reshape(F * 6, M),
+            (((1,), (1,)), ((), ())), preferred_element_type=dtype)
+            for l in range(3))
+        S = S.reshape(F, 6, F, 6)
+        S = S.at[jnp.arange(F), :, jnp.arange(F), :].add(U)
+        S = allreduce(S.reshape(6 * F, 6 * F))
+        bred = allreduce(
+            (bc - sum(jnp.einsum("kim,m->ki", WVl[l],
+                                 bp[l].astype(cdt), **acc)
+                      for l in range(3))).reshape(-1))
 
-        # Condition on fixed poses: dc_fixed = 0.
-        free = (~prob.kf_fixed).astype(dtype)
-        fmask = jnp.repeat(free, 6)
         S = S * fmask[:, None] * fmask[None, :] + jnp.diag(1.0 - fmask)
         bred = bred * fmask
 
-        L, low = jax.scipy.linalg.cho_factor(
-            S + 1e-8 * eyeK6, lower=True
-        )
-        dc = jax.scipy.linalg.cho_solve((L, low), bred).reshape(K, 6)
-        dp = jnp.einsum(
-            "mij,mj->mi", Vinv, bp - jnp.einsum("kmij,ki->mj", Wb, dc)
-        )
-        dp = dp * prob.pt_valid[:, None].astype(dtype)
+        L, low = jax.scipy.linalg.cho_factor(S + 1e-8 * eyeF6, lower=True)
+        dc = jax.scipy.linalg.cho_solve((L, low), bred).reshape(F, 6)
+        tmp = jnp.stack([bp[l] - jnp.einsum("kim,ki->m", Wl[l],
+                                            dc.astype(cdt), **acc)
+                         for l in range(3)])             # (3,M)
+        dp = jnp.einsum("jlm,lm->jm", Vinv, tmp)
+        dp = (dp * prob.pt_valid[None, :].astype(dtype)).T
+        dc_full = jnp.zeros((K, 6), dtype).at[:F].set(dc)
 
-        new_R, new_t = factors.apply_pose_update(kf_R, kf_t, dc)
+        new_R, new_t = factors.apply_pose_update(kf_R, kf_t, dc_full)
         new_pts = points + dp
-        new_cost = masked_chi2(new_R, new_t, new_pts)
+        if not trust_region:
+            # Damped GN: always accept; report the cost at the PREVIOUS
+            # iterate (already reduced from this linearization).
+            return ((new_R, new_t, new_pts, lam, cost_from_chi2(chi2)),
+                    prev_cost)
+        new_cost = masked_cost(new_R, new_t, new_pts)
         accept = new_cost < prev_cost
         kf_R = jnp.where(accept, new_R, kf_R)
         kf_t = jnp.where(accept, new_t, kf_t)
@@ -160,15 +364,18 @@ def optimize(
         cost = jnp.where(accept, new_cost, prev_cost)
         return (kf_R, kf_t, points, lam, cost), cost
 
-    cost0 = masked_chi2(prob.kf_R, prob.kf_t, prob.points)
+    cost0 = (masked_cost(prob.kf_R, prob.kf_t, prob.points)
+             if trust_region else jnp.asarray(0.0, dtype))
     init = (prob.kf_R, prob.kf_t, prob.points,
             jnp.asarray(lambda0, dtype), cost0)
     (kf_R, kf_t, points, _, total), _ = jax.lax.scan(
         lm_step, init, None, length=iters
     )
 
-    _, _, chi2 = _residuals(prob, kf_R, kf_t, points, cam_params, model)
-    inlier = mask & (chi2 <= chi2_th)
+    chi2, _, _, _ = chi2_of(kf_R, kf_t, points)
+    inlier = mask & (chi2 <= th)
+    if not trust_region:
+        total = cost_from_chi2(chi2)
     return BAResult(
         kf_R=kf_R, kf_t=kf_t, points=points,
         chi2=chi2, inlier=inlier, total_chi2=total,

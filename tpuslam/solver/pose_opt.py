@@ -7,12 +7,17 @@ round 3 (:1120-1237). g2o's LM on a dynamic graph becomes a fixed-shape
 masked Gauss-Newton with mild damping: outlier "removal" is mask
 reweighting, so the whole optimization is ONE jitted program of static
 shape — no graph surgery, no per-edge virtual calls.
+
+Stereo/RGBD observations add the reference's 3-dof residual
+(u, v, u - bf/z) against the measured right-image coordinate with the
+chi2=7.815 gate (EdgeStereoSE3ProjectXYZOnlyPose, Optimizer.cc:931/
+:1129-1182): pass `ur` (N,) with entries < 0 for mono keypoints.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -20,6 +25,7 @@ import jax.numpy as jnp
 from tpuslam.solver import factors
 
 CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
 
 
 class PoseOptResult(NamedTuple):
@@ -44,24 +50,52 @@ def optimize_pose(
     iters: int = 10,
     chi2_th: float = CHI2_MONO,
     damping: float = 1e-6,
+    ur: Optional[jax.Array] = None,  # (N,) right-image u; < 0 = mono
+    bf: float = 0.0,
+    chi2_th_stereo: float = CHI2_STEREO,
 ) -> PoseOptResult:
     dtype = R0.dtype
+    has_stereo = ur is not None
+    if has_stereo:
+        st = (ur > 0) & valid
+        stf = st.astype(dtype)
+        th = jnp.where(st, chi2_th_stereo, chi2_th)
+    else:
+        th = chi2_th
 
     def chi2_of(R, t):
         pred, Xc = factors.reproj_residual(R, t, X_w, uv, cam_params, model)
         r = pred - uv
-        c2 = jnp.sum(r * r, axis=-1) * inv_sigma2
-        return r, Xc, c2
+        c2 = jnp.sum(r * r, axis=-1)
+        r3 = None
+        if has_stereo:
+            z = jnp.maximum(Xc[..., 2], 1e-6)
+            r3 = (pred[..., 0] - bf / z - ur) * stf
+            c2 = c2 + r3 * r3
+        return r, r3, Xc, c2 * inv_sigma2
 
     def gn_iter(carry, use_huber):
         R, t, inlier = carry
-        r, Xc, c2 = chi2_of(R, t)
+        r, r3, Xc, c2 = chi2_of(R, t)
         w = inv_sigma2 * inlier.astype(dtype)
         if use_huber:
-            w = w * factors.huber_weight(c2, chi2_th)
+            w = w * factors.huber_weight(c2, th)
         J_pose, _ = factors.reproj_jacobians(Xc, R, cam_params, model)
         H = jnp.einsum("nki,n,nkj->ij", J_pose, w, J_pose)
         b = -jnp.einsum("nki,n,nk->i", J_pose, w, r)
+        if has_stereo:
+            # d(u - bf/z)/dxi = row_u + bf/z^2 * dz/dxi,
+            # dz/d[omega, v] = [y, -x, 0, 0, 0, 1] (left-mult tangent).
+            x, y = Xc[..., 0], Xc[..., 1]
+            z = jnp.maximum(Xc[..., 2], 1e-6)
+            zi2 = 1.0 / (z * z)
+            dz = jnp.stack([y, -x, jnp.zeros_like(x),
+                            jnp.zeros_like(x), jnp.zeros_like(x),
+                            jnp.ones_like(x)], axis=-1)   # (N,6)
+            J3 = J_pose[:, 0, :] + (bf * zi2)[:, None] * dz
+            w3 = w * stf
+            H = H + jnp.einsum("ni,n,nj->ij", J3, w3, J3)
+            b = b - jnp.einsum("ni,n,n->i", J3, w3, r3)
         H = H + damping * jnp.eye(6, dtype=dtype) * (1.0 + jnp.trace(H) / 6.0)
         dx = jnp.linalg.solve(H, b)
         R, t = factors.apply_pose_update(R, t, dx)
@@ -76,10 +110,10 @@ def optimize_pose(
             0, iters, lambda i, c: gn_iter(c, use_huber), carry
         )
         R, t, _ = carry
-        _, _, c2 = chi2_of(R, t)
-        inlier = valid & (c2 <= chi2_th)
+        _, _, _, c2 = chi2_of(R, t)
+        inlier = valid & (c2 <= th)
 
-    _, _, c2 = chi2_of(R, t)
+    _, _, _, c2 = chi2_of(R, t)
     return PoseOptResult(
         R=R, t=t, inlier=inlier, chi2=c2,
         n_inliers=jnp.sum(inlier).astype(jnp.int32),

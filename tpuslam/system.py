@@ -215,6 +215,9 @@ class System:
         tr._pending = None            # drop any deferred superstep
         fields = {k[3:]: jnp.asarray(data[k]) for k in data.files
                   if k.startswith("ms_")}
+        if "kf_ur" not in fields:  # checkpoints from before stereo obs
+            fields["kf_ur"] = jnp.full(fields["kf_level"].shape, -1.0,
+                                       jnp.float32)
         tr.ms = mapstate.MapState(**fields)
         tr._invalidate_kf_set()
         tr.n_kf = int(data["n_kf"])

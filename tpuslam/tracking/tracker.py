@@ -102,6 +102,8 @@ def _track_pose(
     radius2: float = 4.0,
     sched: tuple = ((2, 3), (2, 4)),
     level_widen: bool = False,
+    feats_ur=None,   # (N,) frame right-image u (<0 = mono keypoint)
+    bf: float = 0.0,
 ):
     """Two guided-match + pose-GN rounds against the local map.
 
@@ -168,6 +170,12 @@ def _track_pose(
             model=model,
             rounds=rounds,
             iters=iters,
+            # Stereo/RGBD keypoints add the 3-dof (u, v, u-bf/z) residual
+            # (EdgeStereoOnlyPose, ref Optimizer.cc:931) — the per-frame
+            # anchor that pins metric scale in sensor-depth modes.
+            ur=(jnp.where(matched, feats_ur[kp], -1.0)
+                if feats_ur is not None else None),
+            bf=bf,
         )
         return opt, res, visible
 
@@ -438,14 +446,21 @@ def _fuse_into_kf(
                        mp_valid=mp_valid)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "model"))
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "model", "stereo", "n_free",
+                                    "trust_region"))
 def _run_local_ba(ms: mapstate.MapState, kf_ids, fixed, mp_ids,
                   local_of_global, inv_sigma2_lut, cam_params,
-                  iters: int = 10, model: str = "pinhole"):
+                  iters: int = 10, model: str = "pinhole",
+                  stereo: bool = False, bf=0.0, n_free: int = None,
+                  trust_region: bool = True):
     prob = mapstate.build_ba_problem(
-        ms, kf_ids, fixed, mp_ids, local_of_global, inv_sigma2_lut
+        ms, kf_ids, fixed, mp_ids, local_of_global, inv_sigma2_lut,
+        stereo=stereo,
     )
-    res = local_ba.optimize(prob, cam_params, iters=iters, model=model)
+    res = local_ba.optimize(prob, cam_params, iters=iters, model=model,
+                            bf=bf, n_free=n_free,
+                            trust_region=trust_region)
     # Keep points with at least one inlier observation in the window.
     observed = jnp.any(prob.obs_mask, axis=0)
     pt_keep = jnp.any(res.inlier, axis=0) | ~observed
@@ -554,6 +569,10 @@ class MonoTracker:
         self._need_close = False
         self.depth_th = (cam.bf * cam.th_depth / cam.fx
                          if cam.bf > 0 else 0.0)
+        # Depth-sensor sessions carry 3-dof stereo residuals through
+        # every BA (EdgeStereo, ref include/G2oTypes.h:439) — the map's
+        # metric-scale anchor independent of fixed keyframes.
+        self._ba_stereo = self.cfg.sensor in ("stereo", "rgbd")
         from tpuslam.mapping.atlas import Atlas
         from tpuslam.utils.profiling import StageTimer
 
@@ -663,9 +682,9 @@ class MonoTracker:
                     feats.uv, sm, jnp.float32(self.cfg.camera.bf))
         elif self.cfg.sensor == "rgbd" and depth is not None:
             # Per-keypoint depth lookup replaces ComputeStereoFromRGBD
-            # (/root/reference/src/Frame.cc:1143): the virtual right
-            # coordinate is never needed — near-point spawning and the
-            # depth gates consume metric depth directly.
+            # (/root/reference/src/Frame.cc:1143). The virtual right
+            # coordinate u - bf/z (mvuRight, Frame.cc:1170) feeds the
+            # 3-dof stereo residual in pose opt / BA.
             from tpuslam.frontend.stereo import StereoMatches
             d = jnp.asarray(depth, jnp.float32)
             ui = jnp.clip(feats.uv[:, 0].astype(jnp.int32), 0,
@@ -674,10 +693,10 @@ class MonoTracker:
                           d.shape[0] - 1)
             z = d[vi, ui]
             ok = feats.valid & (z > 0)
+            disp = self.cfg.camera.bf / jnp.maximum(z, 1e-6)
             self._cur_stereo = StereoMatches(
-                disparity=jnp.where(ok, self.cfg.camera.bf
-                                    / jnp.maximum(z, 1e-6), -1.0),
-                u_right=jnp.full_like(z, -1.0),
+                disparity=jnp.where(ok, disp, -1.0),
+                u_right=jnp.where(ok, feats.uv[:, 0] - disp, -1.0),
                 depth=jnp.where(ok, z, jnp.inf), valid=ok)
         if self.state == "NOT_INITIALIZED":
             out = self._initialize(feats)
@@ -833,7 +852,8 @@ class MonoTracker:
         kf_ids, fixed, mp_ids, local = self._window(free=1)
         ms, chi2 = _run_local_ba(ms, kf_ids, fixed, mp_ids, local,
                                  self.inv_sigma2_lut, self.cam_params,
-                                 iters=15, model=self.model)
+                                 iters=15, model=self.model,
+                                 n_free=self.cfg.map.local_window)
         # Re-normalize scale: median depth of valid points in KF1 frame.
         pos = np.asarray(ms.mp_pos[: self.cfg.map.ba_point_cap])
         val = np.asarray(ms.mp_valid[: self.cfg.map.ba_point_cap])
@@ -1019,7 +1039,8 @@ class MonoTracker:
         zero = jnp.zeros(3, jnp.float32)
         self.ms = mapstate.add_keyframe(
             self.ms, slot, eye, zero, feats,
-            jnp.full((self.n_feat,), -1, jnp.int32))
+            jnp.full((self.n_feat,), -1, jnp.int32),
+            ur=sm.u_right)
         self.ms, n_new = _spawn_stereo_points(
             self.ms, slot, sm.depth, sm.valid, jnp.int32(self.n_mp),
             self.cam_params, self.scale_lut, jnp.float32(self.depth_th))
@@ -1267,6 +1288,9 @@ class MonoTracker:
                 self.ms, kf_ids, fixed, mp_ids, local,
                 self.inv_sigma2_lut, self.cam_params,
                 iters=self.cfg.solver.ba_iters, model=self.model,
+                stereo=self._ba_stereo,
+                bf=jnp.float32(self.cfg.camera.bf),
+                n_free=self.cfg.map.local_window,
             )
         self.last_R = np.asarray(self.ms.kf_R[cur_slot])
         self.last_t = np.asarray(self.ms.kf_t[cur_slot])
@@ -1348,19 +1372,39 @@ class MonoTracker:
         skey = (getattr(self, "_kf_version", 0), target)
         if getattr(self, "_win_slots_key", None) != skey:
             chosen, free_set = self._window_slots(target)
-            n = len(chosen)
+            # FREE-FIRST layout: rows [0, local_window) hold the free
+            # keyframes (temporal order, -1 padded), rows
+            # [local_window, W) the fixed anchors. This is the static
+            # n_free promise local_ba.optimize exploits: the Schur
+            # camera system covers only the free block ((K/F)^2 less
+            # matmul on the BA critical path).
+            Fcap = mcfg.local_window
+            free_rows = [s for s in chosen if s in free_set][:Fcap]
+            fixed_rows = [s for s in chosen if s not in free_set]
             kf_ids = np.full((W,), -1, np.int32)
             fixed = np.ones((W,), bool)
-            kf_ids[:n] = chosen
-            for i, s in enumerate(chosen):
-                fixed[i] = s not in free_set
+            kf_ids[:len(free_rows)] = free_rows
+            fixed[:len(free_rows)] = False
+            nfix = min(len(fixed_rows), W - Fcap)
+            kf_ids[Fcap:Fcap + nfix] = fixed_rows[:nfix]
             self._win_slots = (jnp.asarray(kf_ids), jnp.asarray(fixed))
             self._win_slots_key = skey
             self._win_pts_key = None
         pkey = (getattr(self, "_ms_version", 0), target)
         if getattr(self, "_win_pts_key", None) != pkey:
+            # Landmark-axis shape bucket: the BA grid (and every
+            # window-gathered kernel) is bandwidth-bound in the landmark
+            # dimension, so size it to the smallest power-of-two bucket
+            # holding the ACTUAL occupancy instead of always paying the
+            # full cap (VERDICT r02: ~95% of the dense grid was padding).
+            count = int(mapstate.count_window_points(
+                self.ms, self._win_slots[0]))
+            cap = 512
+            while cap < min(count, mcfg.ba_point_cap):
+                cap *= 2
+            cap = min(cap, mcfg.ba_point_cap)
             mp_ids, local = mapstate.local_point_ids(
-                self.ms, self._win_slots[0], cap=mcfg.ba_point_cap
+                self.ms, self._win_slots[0], cap=cap
             )
             self._win_pts = (mp_ids, local)
             self._win_pts_key = pkey
@@ -1921,6 +1965,15 @@ class MonoTracker:
                 radius1=15.0,
                 level_widen=(self.cfg.sensor == "imu_mono"),
                 model=self.model,
+                # Depth-sensor modes add the 3-dof (u, v, u-bf/z)
+                # residual per stereo-matched keypoint — the per-frame
+                # metric-scale anchor (EdgeStereoOnlyPose,
+                # ref Optimizer.cc:931).
+                feats_ur=(self._cur_stereo.u_right
+                          if (self.cfg.sensor in ("stereo", "rgbd")
+                              and self._cur_stereo is not None)
+                          else None),
+                bf=jnp.float32(self.cfg.camera.bf),
             )
             n_inl = int(n_inl)
         if os.environ.get("TPUSLAM_TRACK_DEBUG"):
@@ -2037,17 +2090,22 @@ class MonoTracker:
         n = len(slots)
         if n < 3:
             return
+        # Free-first layout: the two gauge anchors (oldest KFs) sit in
+        # the last two rows so the Schur camera system covers only the
+        # free block (n_free = W - 2 static).
         kf_ids = np.full((W,), -1, np.int32)
-        kf_ids[:n] = slots
+        kf_ids[:n - 2] = slots[2:]
+        kf_ids[W - 2:] = slots[:2]
         fixed = np.ones((W,), bool)
-        fixed[2:n] = False  # first two anchor the gauge
+        fixed[:n - 2] = False
         kf_ids_j = jnp.asarray(kf_ids)
         mp_ids, local = mapstate.local_point_ids(
             self.ms, kf_ids_j, cap=self.cfg.map.ba_point_cap)
         self.ms, _ = _run_local_ba(
             self.ms, kf_ids_j, jnp.asarray(fixed), mp_ids, local,
             self.inv_sigma2_lut, self.cam_params, iters=iters,
-            model=self.model)
+            model=self.model, stereo=self._ba_stereo,
+            bf=jnp.float32(self.cfg.camera.bf), n_free=W - 2)
         self._invalidate_window()
 
     def _run_global_ba_sharded(self, slots, iters: int):
@@ -2171,8 +2229,12 @@ class MonoTracker:
         if slot is None:
             return
         with self.timer.stage("kf_insert"):
+            kf_ur = None
+            if (self.cfg.sensor in ("stereo", "rgbd")
+                    and self._cur_stereo is not None):
+                kf_ur = self._cur_stereo.u_right
             self.ms = mapstate.add_keyframe(self.ms, slot, R, t, feats,
-                                            assoc)
+                                            assoc, ur=kf_ur)
         self.kf_slots.append(slot)
         self._invalidate_kf_set()
         self.frames_since_kf = 0
@@ -2248,10 +2310,18 @@ class MonoTracker:
                 chi2 = jnp.float32(0.0)
             else:
                 kf_ids, fixed, mp_ids, local = self._window()
+                # Warm schedule: the window overlaps the previous
+                # superstep's, so a short damped-GN run replaces the
+                # full LM schedule (cold problems — init, GBA, merge —
+                # keep ba_iters LM, see SolverConfig).
                 self.ms, chi2 = _run_local_ba(
                     self.ms, kf_ids, fixed, mp_ids, local,
                     self.inv_sigma2_lut, self.cam_params,
-                    iters=self.cfg.solver.ba_iters, model=self.model,
+                    iters=self.cfg.solver.ba_warm_iters, model=self.model,
+                    stereo=self._ba_stereo,
+                    bf=jnp.float32(self.cfg.camera.bf),
+                    n_free=self.cfg.map.local_window,
+                    trust_region=self.cfg.solver.ba_warm_trust_region,
                 )
         self._invalidate_window()   # BA re-gates point validity
         # Map-point hygiene over the refined window: distinctive
