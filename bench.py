@@ -89,6 +89,9 @@ def main():
                    help="frames per keyframe (measured cadence of the "
                         "ratio-gated policy on synthetic orbit runs)")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--e2e-frames", type=int, default=96,
+                   help="frames of the end-to-end wall-clock loop "
+                        "(0 disables)")
     args = p.parse_args()
 
     import os
@@ -97,6 +100,16 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache: the second bench run (and any
+    # production restart) skips the ~100 s of XLA compiles.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
 
@@ -254,32 +267,103 @@ def main():
         time.perf_counter() - t0c
         - 6e-3 * (ba_ms + tri_ms + fuse_ms + hyg_ms + cull_ms), 0.0)
 
-    kf_ms = ba_ms + 2 * tri_ms + fuse_ms + hyg_ms + cull_ms
+    # ---- 2b) loop-detection budget at FULL pool occupancy (512 KFs) ----
+    # detect_loop's device work per keyframe: chunked scoring against
+    # the pre-unpacked retrieval cache + the query's covisibility
+    # weights (the dense covis matrix only runs behind the score
+    # pre-gate). The db is staged in host numpy (bit unpack via
+    # np.unpackbits) and uploaded once.
+    from tpuslam.mapping import retrieval as retr
+    Kmax = cfg.map.max_keyframes
+    S = retr.DB_DESC
+    rngl = np.random.default_rng(7)
+    desc512 = rngl.integers(0, 2**32, (Kmax, S, 8),
+                            dtype=np.uint64).astype(np.uint32)
+    bits512 = np.unpackbits(
+        desc512.view(np.uint8), axis=-1, bitorder="little"
+    ).reshape(Kmax, S, 256).astype(np.float32)
+    db512 = retr.RetrievalDB(
+        kf_valid=jnp.ones((Kmax,), bool),
+        bits=jnp.asarray(bits512, jnp.bfloat16),
+        nbits=jnp.asarray(bits512.sum(-1), jnp.float32),
+        valid=jnp.ones((Kmax, S), bool),
+    )
+    ms512 = mapstate.empty(Kmax, cfg.map.max_points, n_feat)
+    obs512 = rngl.integers(0, 16384, (Kmax, n_feat)).astype(np.int32)
+    ms512 = ms512._replace(
+        kf_obs_mp=jnp.asarray(obs512),
+        kf_valid=jnp.ones((Kmax,), bool),
+        kf_kp_valid=jnp.ones((Kmax, n_feat), bool),
+        mp_valid=jnp.asarray(np.arange(cfg.map.max_points) < 16384))
+    q_desc = jnp.asarray(rngl.integers(
+        0, 2**32, (n_feat, 8), dtype=np.uint64).astype(np.uint32))
+    resp_q = jnp.asarray(rngl.uniform(21.0, 80.0, n_feat), jnp.float32)
+    q_vars = [jnp.roll(q_desc, i, axis=0) for i in range(1, 4)]
+    jax.block_until_ready(q_vars)
+    score_ms = scan_timed(
+        lambda q: retr.score_db(db512, q, jnp.ones((n_feat,), bool),
+                                resp_q, match_th=25),
+        q_vars)
+    covw_ms = scan_timed(
+        lambda s: mapstate.covisibility_weights(ms512, s),
+        [jnp.int32(i) for i in range(3)])
+    loop_detect_ms = score_ms + covw_ms
+
+    kf_ms = ba_ms + 2 * tri_ms + fuse_ms + hyg_ms + cull_ms \
+        + loop_detect_ms
     amort_ms = track_ms + kf_ms / args.kf_every
     amort_fps = 1e3 / amort_ms
 
     # ---- 3) kernel rooflines ----
     # Device ceilings measured IN THIS RUN (the tunnel-attached chip
-    # delivers a small fraction of v5e spec; an honest roofline compares
+    # delivers a fraction of v5e spec; an honest roofline compares
     # against what the device actually sustains, and reports both).
-    bw_probe = jnp.ones((2 * 1024 * 1024,), jnp.float32)  # 8 MB
+    # HBM bandwidth: stream an array FAR bigger than any cache
+    # (256 MB; read+write per pass) inside one jitted scan — the r03
+    # probe used 8 MB and measured latency, not bandwidth, which made
+    # ba_roofline_frac_vs_device_bw come out at an impossible 2.96.
+    bw_probe = jnp.ones((64 * 1024 * 1024,), jnp.float32)  # 256 MB
 
     @jax.jit
     def _bw(x):
         def body(c, _):
             return c * 1.000001 + 1e-9, 0.0
-        c, _ = jax.lax.scan(body, x, None, length=20)
+        c, _ = jax.lax.scan(body, x, None, length=64)
         return jnp.sum(c)
+    jax.block_until_ready(bw_probe)
     float(_bw(bw_probe))
-    t0 = time.perf_counter()
-    float(_bw(bw_probe))
-    copy_gbs = 20 * 2 * 8 / 1024 / (time.perf_counter() - t0)
+    best_bw = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(_bw(bw_probe))
+        best_bw = min(best_bw, time.perf_counter() - t0)
+    # 64 passes x (read+write) x 0.25 GB, with the single dispatch's
+    # tunnel round trip subtracted (it dominated the r03 8 MB probe).
+    best_bw = max(best_bw - dispatch_ms * 1e-3, best_bw * 0.2)
+    copy_gbs = 64 * 2 * 0.25 / best_bw
 
+    # MXU ceiling: LARGE bf16 matmul with f32 accumulation (the dtype
+    # and shape every hot kernel here targets) — the r03 probe was one
+    # 1024^3 f32 matmul (latency-bound, wrong dtype; 7.3 "sustained"
+    # TFLOPs made matching look 5.5x above the device ceiling).
+    MM = 4096
     mm_a = jnp.asarray(np.random.default_rng(2).normal(
-        size=(1024, 1024)).astype(np.float32))
-    mm_ms = scan_timed(lambda a: (a @ mm_a)[:8, :8], [mm_a + i
-                                                      for i in range(3)])
-    mm_tflops = 2 * 1024 ** 3 / (mm_ms * 1e-3) / 1e12
+        size=(MM, MM)).astype(np.float32)).astype(jnp.bfloat16)
+    mm_b = jnp.asarray(np.random.default_rng(3).normal(
+        size=(MM, MM)).astype(np.float32)).astype(jnp.bfloat16)
+
+    def _mm(a):
+        # Return the FULL product: scan_timed's body sums the output, so
+        # no slice-based dead-code elimination can shrink the matmul
+        # (the r03 probe returned out[:8,:8] and XLA computed only 8
+        # rows — "sustained 7.3 TFLOPs" was 8/1024 of the work; the
+        # first r04 probe returned a slice of a 4096^3 product and
+        # measured an impossible 439 TFLOPs the same way).
+        return jax.lax.dot_general(
+            a, mm_b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    mm_ms = scan_timed(_mm, [mm_a + jnp.bfloat16(i) for i in range(3)])
+    mm_tflops = 2 * MM ** 3 / (mm_ms * 1e-3) / 1e12
 
     # Matching kernel: bit-matmul Hamming (1024 query x 4096 db).
     from tpuslam.frontend import matching
@@ -309,6 +393,81 @@ def main():
     ba_gflops = it * (6 * (6 * F) ** 2 * cap + 2 * F * 36 * R_rows * cap
                       + 150 * W * cap) / 1e9
 
+    # ---- 4) END-TO-END wall-clock: the REAL tracker loop on device ----
+    # Full MonoTracker.process (extraction, tracking, keyframe
+    # supersteps, loop detection ON) over pre-rendered frames. Wall
+    # time includes every host sync; blocking round trips are counted
+    # (wrapping jax.device_get + jax.Array fetch dunders) so the
+    # tunnel's per-sync cost — which a co-located production host does
+    # not pay — can be reported separately, not hidden.
+    e2e_wall_fps = None
+    e2e_detail = {}
+    if args.e2e_frames:
+        from tpuslam.system import System
+
+        n_e2e = args.e2e_frames
+        poses_e = synthetic.orbit_trajectory(n_e2e, radius=12.0)
+        frames_np = [synthetic.render(world, R, t) for R, t in poses_e]
+        sysm = System(cfg)
+
+        counter = {"n": 0}
+        orig_dg = jax.device_get
+
+        def counting_dg(x):
+            counter["n"] += 1
+            return orig_dg(x)
+
+        jax.device_get = counting_dg
+        patched = []
+        try:
+            from jax._src.array import ArrayImpl
+            for name in ("__array__", "__int__", "__float__", "__bool__",
+                         "__index__"):
+                if hasattr(ArrayImpl, name):
+                    orig = getattr(ArrayImpl, name)
+
+                    def wrap(orig):
+                        def f(self, *a, **k):
+                            counter["n"] += 1
+                            return orig(self, *a, **k)
+                        return f
+                    setattr(ArrayImpl, name, wrap(orig))
+                    patched.append((name, orig))
+        except Exception:
+            ArrayImpl = None
+        try:
+            warm = min(16, n_e2e // 3)
+            for i in range(warm):
+                sysm.track_monocular(frames_np[i], timestamp=i / 20.0)
+            counter["n"] = 0
+            t0e = time.perf_counter()
+            for i in range(warm, n_e2e):
+                sysm.track_monocular(frames_np[i], timestamp=i / 20.0)
+            e2e_wall = time.perf_counter() - t0e
+        finally:
+            jax.device_get = orig_dg
+            if patched:
+                for name, orig in patched:
+                    setattr(ArrayImpl, name, orig)
+        n_timed = n_e2e - warm
+        e2e_ms = 1e3 * e2e_wall / n_timed
+        syncs = counter["n"] / n_timed
+        e2e_wall_fps = 1e3 / e2e_ms
+        # Co-located estimate: subtract the measured per-sync tunnel
+        # round trip (minus a generous 0.2 ms for a real PCIe-attached
+        # host's sync). A MODELED number, labeled as such.
+        adj_ms = max(e2e_ms - syncs * max(dispatch_ms - 0.2, 0.0),
+                     e2e_ms * 0.1)
+        e2e_detail = {
+            "e2e_wall_fps": round(e2e_wall_fps, 2),
+            "e2e_wall_ms_per_frame": round(e2e_ms, 2),
+            "e2e_syncs_per_frame": round(syncs, 1),
+            "e2e_frames": n_timed,
+            "e2e_ok": sysm.tracking_state(),
+            "e2e_kf": sysm.map_stats()["keyframes"],
+            "e2e_wall_fps_colocated_est": round(1e3 / adj_ms, 2),
+        }
+
     print(json.dumps({
         "metric": "mono_amortized_fps",
         "value": round(amort_fps, 2),
@@ -324,6 +483,9 @@ def main():
             "fuse_ms": round(fuse_ms, 2),
             "hygiene_ms": round(hyg_ms, 2),
             "cull_ms": round(cull_ms, 2),
+            "loop_detect_ms": round(loop_detect_ms, 2),
+            "loop_detect_at_kf": Kmax,
+            **e2e_detail,
             "ba_window": f"{cfg.map.local_window}+{cfg.map.local_fixed}kf"
                          f"/{cap}pt(bucket, occ={occupancy})",
             "ba_iters": cfg.solver.ba_warm_iters,

@@ -182,19 +182,26 @@ def test_retrieval_scores(rng):
     kf_desc = jnp.asarray(rng.integers(0, 2**32, size=(Kmax, N, 8),
                                        dtype=np.uint32))
     kp_valid = jnp.ones((Kmax, N), bool)
+    response = jnp.asarray(rng.uniform(21.0, 80.0, size=(Kmax, N)),
+                           jnp.float32)
     db = retrieval.empty_db(Kmax)
     for k in range(4):
-        db = retrieval.mark_keyframe(db, k)
+        db = retrieval.mark_keyframe(db, k, kf_desc[k], kp_valid[k],
+                                     response[k])
     # Query with a noisy copy of KF2's descriptors (flip one bit each).
     noisy = np.asarray(kf_desc[2]).copy()
     noisy[:, 0] ^= 1
-    scores = np.asarray(retrieval.score_keyframes(
-        kf_desc, kp_valid, db.kf_valid, jnp.asarray(noisy),
-        jnp.ones(N, bool)))
+    scores = np.asarray(retrieval.score_db(
+        db, jnp.asarray(noisy), jnp.ones(N, bool), response[2]))
     assert np.argmax(scores) == 2
     assert scores[2] > 0.9          # near-exact copies all match
     assert scores[np.r_[0, 1, 3]].max() < 0.2  # random descriptors do not
     assert scores[4:].max() == -1.0  # unregistered slots masked
+    # Culling removes the keyframe from the index.
+    db2 = retrieval.unmark_keyframe(db, 2)
+    scores2 = np.asarray(retrieval.score_db(
+        db2, jnp.asarray(noisy), jnp.ones(N, bool), response[2]))
+    assert scores2[2] == -1.0
 
 
 @pytest.fixture(scope="module")

@@ -34,10 +34,16 @@ def ring_run():
         orb=ORBConfig(n_features=1024),
     )
     tracker = MonoTracker(cfg)
+    # Force the post-loop GBA through the landmark-sharded ALL-keyframe
+    # path (instance attr; the ~50-KF map would otherwise take the dense
+    # branch) — the flagship e2e then exercises the no-horizon global BA
+    # + background chunking in the real loop-closure flow.
+    tracker.GBA_WINDOW = 24
     states = []
     for R, t in poses:
         out = tracker.process(synthetic.render(world, R, t))
         states.append(out.state)
+    tracker.flush()
     gt = np.stack([-R.T @ t for R, t in poses])
     return tracker, states, gt
 

@@ -123,3 +123,63 @@ def test_euroc_loader_roundtrip(small_setup, tmp_path_factory):
     assert sysm.tracking_state() == "OK"
     assert res is not None
     assert res.rmse_scaled < 0.5, res.rmse_scaled
+
+
+def test_euroc_imu_driver_roundtrip(tmp_path_factory):
+    """Mini EuRoC-layout dataset WITH IMU csv -> run_sequence routes the
+    IMU windows through track_monocular_inertial (the
+    mono_inertial_euroc.cc analog — r03 left imu_between unused), and
+    the exported keyframe trajectory parses as TUM format with real
+    frame timestamps (SaveKeyFrameTrajectoryEuRoC, System.cc:746)."""
+    h, w = 480, 640
+    n = 30
+    fps, freq = 20.0, 200.0
+    world = synthetic.make_world(n_points=500, h=h, w=w, seed=0)
+    sim = synthetic.simulate_imu(n, fps=fps, imu_freq=freq,
+                                 arc=0.4 * np.pi)
+    t0 = 1403636579.0  # EuRoC-style epoch timestamps
+    ts = [t0 + i / fps for i in range(n)]
+    imgs = [synthetic.render(world, R, t) for R, t in sim["poses"]]
+    # Flatten the per-interval IMU blocks into one stream.
+    S = int(freq / fps)
+    imu_t, imu_g, imu_a = [], [], []
+    for i in range(n - 1):
+        for k in range(S):
+            imu_t.append(ts[i] + k / freq)
+            imu_g.append(sim["imu_gyro"][i][k])
+            imu_a.append(sim["imu_acc"][i][k])
+    gt = np.stack([-R.T @ t for R, t in sim["poses"]])
+    tmp = tmp_path_factory.mktemp("euroc_imu") / "seq"
+    euroc.write_mini_sequence(
+        tmp, imgs, ts,
+        imu={"t": np.asarray(imu_t), "gyro": np.asarray(imu_g),
+             "acc": np.asarray(imu_a)},
+        gt=gt)
+
+    seq = euroc.EuRoCSequence(tmp)
+    assert seq.imu is not None and len(seq.imu["t"]) == (n - 1) * S
+    cfg = euroc.euroc_config(sensor="imu_mono").replace(
+        camera=CameraConfig(width=w, height=h, fx=float(world.cam[0]),
+                            fy=float(world.cam[1]), cx=float(world.cam[2]),
+                            cy=float(world.cam[3]), fps=fps))
+    sysm, res = euroc.run_sequence(seq, cfg=cfg)
+    assert sysm.tracking_state() == "OK"
+    # The IMU stream actually reached the tracker: the keyframe
+    # preintegration chain exists (it only fills via _integrate_imu).
+    tr = sysm.tracker
+    assert tr.kf_preint, "IMU never routed through the driver"
+    assert res is not None and res.rmse_scaled < 0.5, res
+
+    # Exported keyframe trajectory: TUM format, REAL timestamps.
+    tmp2 = tmp_path_factory.mktemp("traj")
+    sysm.save_keyframe_trajectory(tmp2 / "kf.txt")
+    lines = (tmp2 / "kf.txt").read_text().strip().splitlines()
+    assert len(lines) == len(tr.kf_slots)
+    vals = np.asarray([[float(v) for v in ln.split()] for ln in lines])
+    assert vals.shape[1] == 8
+    # Timestamps are frame timestamps (epoch range), strictly increasing.
+    assert np.all(vals[:, 0] >= t0) and np.all(np.diff(vals[:, 0]) > 0)
+    # KITTI export: 12 floats per frame line.
+    kitti = sysm.trajectory_kitti().strip().splitlines()
+    assert len(kitti) == n
+    assert all(len(ln.split()) == 12 for ln in kitti)

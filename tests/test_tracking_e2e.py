@@ -83,23 +83,65 @@ def test_relocalization_after_blackout():
         orb=ORBConfig(n_features=1024),
     )
     tracker = MonoTracker(cfg)
-    for R, t in poses[:30]:
-        tracker.process(synthetic.render(world, R, t))
+    pre_centers = {}
+    for i, (R, t) in enumerate(poses[:30]):
+        out = tracker.process(synthetic.render(world, R, t))
+        pre_centers[i] = -out.R.T @ out.t
     assert tracker.state == "OK"
     blank = np.full((h, w), 60.0, np.float32)
     for _ in range(3):
         out = tracker.process(blank)
     assert tracker.state == "LOST"
     # Re-show a view close to an earlier one: must relocalize.
-    recovered = False
-    for R, t in poses[24:30]:
+    recovered_at = None
+    for j, (R, t) in enumerate(poses[24:30]):
         out = tracker.process(synthetic.render(world, R, t))
         if out.state == "OK":
-            recovered = True
+            recovered_at = 24 + j
             break
-    assert recovered, "did not relocalize after blackout"
-    # Pose agrees with the pre-blackout estimate for the same frame.
-    gt_c = -poses[27][0].T @ poses[27][1]
+    assert recovered_at is not None, "did not relocalize after blackout"
+    # The recovered pose must AGREE with the pre-blackout estimate of
+    # the SAME frame — same map, same (arbitrary) scale, so the two
+    # camera centers are directly comparable; gate at a fraction of the
+    # pre-blackout trajectory's spread (no blind isfinite-only check).
     est_c = -out.R.T @ out.t
-    # (mono scale: compare direction from world origin-ish region)
-    assert np.isfinite(est_c).all()
+    pre_c = pre_centers[recovered_at]
+    spread = np.ptp(np.stack(list(pre_centers.values())), axis=0).max()
+    err = np.linalg.norm(est_c - pre_c)
+    assert err < 0.15 * spread, (
+        f"relocalized {err:.3f} from the pre-blackout estimate "
+        f"(trajectory spread {spread:.3f})")
+
+
+def test_boosted_init_extractor():
+    """Monocular initialization runs the n_init_features_mult-boosted
+    extractor (ref mpIniORBextractor at 5x, src/Tracking.cc:838-844) and
+    compresses the two init keyframes back to the static pool budget,
+    triangulated keypoints first: the boosted session must initialize
+    and seed MORE initial structure than the unboosted one on the same
+    frames, with pool shapes untouched."""
+    h, w = 480, 640
+    world = synthetic.make_world(n_points=400, h=h, w=w, seed=0)
+    poses = synthetic.orbit_trajectory(8, arc=0.08 * np.pi)
+
+    def run(mult):
+        cfg = SLAMConfig(
+            camera=CameraConfig(width=w, height=h, fx=float(world.cam[0]),
+                                fy=float(world.cam[1]),
+                                cx=float(world.cam[2]),
+                                cy=float(world.cam[3])),
+            orb=ORBConfig(n_features=1024, n_init_features_mult=mult),
+        )
+        tr = MonoTracker(cfg)
+        for R, t in poses:
+            tr.process(synthetic.render(world, R, t))
+        tr.flush()
+        return tr
+
+    tr1 = run(1)
+    tr2 = run(2)
+    assert tr2.state == "OK"
+    # Pool shapes stay at the base budget (static-shape promise).
+    assert tr2.ms.kf_uv.shape[1] == tr2.n_feat == tr1.n_feat
+    # The boosted candidate pool seeds a denser initial map.
+    assert tr2.n_mp > tr1.n_mp, (tr1.n_mp, tr2.n_mp)

@@ -107,7 +107,12 @@ def test_mono_inertial_metric_scale(vi_run):
     # ladder converges it to within a few percent (measured 0.976 with
     # EuRoC-datasheet noise + nontrivial Tbc).
     assert 0.8 < res.scale < 1.25, f"scale {res.scale} not metric"
-    assert res.rmse < 0.6, res.rmse
+    # Gate re-measured (r04) after keyframe-frame trajectory entries
+    # became exact identities (the old export mixed pre-/post-superstep
+    # worlds; fixing it shifts every KF frame's exported pose by its BA
+    # refinement delta): scale improved 0.976 -> 0.988, rmse moved
+    # 0.59 -> 0.62 on this chaotic fixture.
+    assert res.rmse < 0.68, res.rmse
 
 
 @pytest.mark.slow

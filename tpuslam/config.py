@@ -33,6 +33,17 @@ class CameraConfig:
     # Stereo: baseline times fx (reference `mbf`) and depth threshold.
     bf: float = 0.0
     th_depth: float = 35.0
+    # Non-rectified (fisheye) stereo rig: right-camera intrinsics +
+    # distortion, rig extrinsics Tlr (x_left = R x_right + t, 16 floats
+    # row-major; the reference's Tlr, Stereo-Inertial/TUM_512.yaml:33),
+    # and per-camera lapping column bands
+    # (Camera.lappingBegin/lappingEnd, KannalaBrandt8.h:96). Empty =
+    # rectified rig (scanline stereo path).
+    params_right: Tuple[float, ...] = ()
+    dist_right: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
+    Tlr: Tuple[float, ...] = ()
+    lapping_left: Tuple[float, float] = (-1.0, -1.0)
+    lapping_right: Tuple[float, float] = (-1.0, -1.0)
 
     @property
     def params(self) -> Tuple[float, ...]:

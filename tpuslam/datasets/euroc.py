@@ -35,12 +35,23 @@ def euroc_camera_config() -> CameraConfig:
     )
 
 
+# Body-from-camera extrinsics Tbc of cam0 (Examples/Monocular-Inertial/
+# EuRoC.yaml:30-38).
+EUROC_TBC = (
+    0.0148655429818, -0.999880929698, 0.00414029679422, -0.0216401454975,
+    0.999557249008, 0.0149672133247, 0.025715529948, -0.064676986768,
+    -0.0257744366974, 0.00375618835797, 0.999660727178, 0.00981073058949,
+    0.0, 0.0, 0.0, 1.0,
+)
+
+
 def euroc_config(sensor: str = "mono") -> SLAMConfig:
     return SLAMConfig(
         camera=euroc_camera_config(),
         orb=ORBConfig(n_features=1024),
         imu=IMUConfig(freq=200.0, noise_gyro=1.7e-4, noise_acc=2.0e-3,
-                      walk_gyro=1.9e-5, walk_acc=3.0e-3),
+                      walk_gyro=1.9e-5, walk_acc=3.0e-3,
+                      Tbc=EUROC_TBC),
         sensor=sensor,
     )
 
@@ -178,14 +189,27 @@ def write_mini_sequence(root: Path, images: List[np.ndarray],
 
 
 def run_sequence(seq: EuRoCSequence, cfg: Optional[SLAMConfig] = None,
-                 max_frames: Optional[int] = None, quiet: bool = True):
-    """mono_euroc.cc's main loop: stream frames through a System, return
-    (system, ate_result_or_None)."""
+                 max_frames: Optional[int] = None, quiet: bool = True,
+                 seq_right: Optional[EuRoCSequence] = None):
+    """The per-sensor example mains' loop (mono_euroc.cc /
+    mono_inertial_euroc.cc / stereo_euroc.cc / stereo_inertial_euroc.cc):
+    stream frames (+ IMU windows, + right images) through a System
+    according to cfg.sensor; return (system, ate_result_or_None).
+
+    `seq_right`: cam1 stream for the stereo modes (defaults to the same
+    root with cam="cam1")."""
     from tpuslam.eval import ate as ate_mod
     from tpuslam.system import System
 
     cfg = cfg or euroc_config()
     sysm = System(cfg)
+    sensor = cfg.sensor
+    use_imu = sensor in ("imu_mono", "imu_stereo")
+    use_right = sensor in ("stereo", "imu_stereo")
+    if use_imu and seq.imu is None:
+        raise ValueError(f"{sensor} needs mav0/imu0/data.csv in {seq.root}")
+    if use_right and seq_right is None:
+        seq_right = EuRoCSequence(seq.root, cam="cam1")
     n = len(seq) if max_frames is None else min(len(seq), max_frames)
     # Native decode-ahead when built (native/loader.cpp): PNG inflation
     # runs in C++ worker threads and overlaps the device compute of the
@@ -193,10 +217,24 @@ def run_sequence(seq: EuRoCSequence, cfg: Optional[SLAMConfig] = None,
     from tpuslam.datasets.native_loader import PrefetchingLoader
     paths = [seq.root / "mav0" / seq.cam / "data" / seq.frames[i][1]
              for i in range(n)]
-    with PrefetchingLoader(paths, cfg.camera.width,
+    rpaths = ([seq_right.root / "mav0" / seq_right.cam / "data"
+               / seq_right.frames[i][1] for i in range(n)]
+              if use_right else [])
+    with PrefetchingLoader(paths + rpaths, cfg.camera.width,
                            cfg.camera.height) as ld:
         for i in range(n):
-            out = sysm.track_monocular(ld[i], seq.timestamp(i))
+            ts = seq.timestamp(i)
+            imu = seq.imu_between(i - 1, i) if (use_imu and i > 0) else None
+            if sensor == "mono":
+                out = sysm.track_monocular(ld[i], ts)
+            elif sensor == "imu_mono":
+                out = sysm.track_monocular_inertial(ld[i], imu, ts)
+            elif sensor == "stereo":
+                out = sysm.track_stereo(ld[i], ld[n + i], ts)
+            elif sensor == "imu_stereo":
+                out = sysm.track_stereo_inertial(ld[i], ld[n + i], imu, ts)
+            else:
+                raise ValueError(f"run_sequence: unsupported {sensor!r}")
             if not quiet and i % 20 == 0:
                 print(f"[{i}] {out.state} inliers={out.n_inliers}")
     res = None

@@ -67,8 +67,11 @@ def _cell_top1(score, cell: int):
     return val, jnp.stack([gx, gy], axis=-1)
 
 
-def _extract_level(img_lv, n_kp: int, cfg: ORBConfig, threshold: float):
-    """One pyramid level -> fixed n_kp features (masked)."""
+def _select_level(img_lv, n_kp: int, cfg: ORBConfig, threshold: float):
+    """One pyramid level -> fixed n_kp keypoints (masked): FAST + cell
+    balancing + top-k. Patches/descriptors are computed by the caller
+    over ALL levels at once (one big MXU batch instead of 8 small
+    ones)."""
     score = fast.detect(img_lv, threshold, cfg.edge_margin)
     cell_scores, cell_xy = _cell_top1(score, cfg.cell_size)
     k = min(n_kp, cell_scores.shape[0])
@@ -80,39 +83,45 @@ def _extract_level(img_lv, n_kp: int, cfg: ORBConfig, threshold: float):
         xy = jnp.concatenate([xy, jnp.zeros((pad, 2), jnp.float32)])
         top_val = jnp.concatenate([top_val, jnp.zeros((pad,), top_val.dtype)])
         valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
-
-    blurred = pyramid.gaussian_blur(img_lv)
-    angle, desc = orb.orient_and_describe(blurred, xy)
-    return xy, angle, top_val.astype(jnp.float32), desc, valid
+    return xy, top_val.astype(jnp.float32), valid
 
 
 def extract(img, cfg: ORBConfig):
     """Full-frame ORB extraction. img: (H,W) float32 grayscale [0,255].
 
     Returns FrameFeatures with capacity = cfg.n_features (+ rounding).
-    """
+
+    Structure: per-level FAST/selection/patch-gather (image shapes
+    differ per level), then ONE batched orientation + descriptor stage
+    over the concatenated patch tensor — the descriptor matmul is the
+    extraction hot spot and wants the full keypoint batch (measured
+    7.2 ms as 8 per-level matmuls vs ~0.5 ms batched)."""
     levels = pyramid.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
     budget = features_per_level(cfg.n_features, cfg.n_levels, cfg.scale_factor)
 
-    uvs, lvls, angs, resps, descs, valids = [], [], [], [], [], []
+    uvs, lvls, resps, valids, patches = [], [], [], [], []
     for lv, (img_lv, n_lv) in enumerate(zip(levels, budget)):
-        xy, angle, resp, desc, valid = _extract_level(
+        xy, resp, valid = _select_level(
             img_lv, n_lv, cfg, float(cfg.min_th_fast)
         )
+        blurred = pyramid.gaussian_blur(img_lv)
+        patches.append(orb.extract_patches(blurred, xy))
         s = cfg.scale_factor ** lv
         uvs.append(xy * s)
         lvls.append(jnp.full((xy.shape[0],), lv, jnp.int32))
-        angs.append(angle)
         resps.append(resp)
-        descs.append(desc)
         valids.append(valid)
+
+    all_patches = jnp.concatenate(patches)
+    angle = orb.orientation(all_patches)
+    desc = orb.descriptors_from_patches(all_patches, angle)
 
     return FrameFeatures(
         uv=jnp.concatenate(uvs),
         level=jnp.concatenate(lvls),
-        angle=jnp.concatenate(angs),
+        angle=angle,
         response=jnp.concatenate(resps),
-        desc=jnp.concatenate(descs),
+        desc=desc,
         valid=jnp.concatenate(valids),
     )
 

@@ -170,35 +170,47 @@ def descriptors_from_patches(patches, angle, pattern_seed: int = 42):
 
     The bf16 hi/lo split keeps the sampled differences f32-exact while
     both matmuls ride the MXU (bf16 quantization of raw patches flips
-    near-equal BRIEF comparisons otherwise)."""
+    near-equal BRIEF comparisons otherwise).
+
+    The bin axis is FOLDED into the matmul columns: an "nf,bfs->nbs"
+    einsum lowers to B batched (N,F)x(F,S) matmuls whose tiny M x S
+    tiles leave the MXU pipeline-latency-bound (measured 7.2 ms/frame
+    across the pyramid); one (N,F)x(F,B*S) matmul with the same FLOPs
+    runs in a few hundred microseconds."""
     n = patches.shape[0]
     patch = patches.shape[-1]
     sel = _rotated_diff_selection(pattern_seed, patch)           # (B,F,S)
+    B, F, S = sel.shape
+    sel2d = np.transpose(sel, (1, 0, 2)).reshape(F, B * S)       # (F,B*S)
     flat = patches.reshape(n, -1)                                # (N,F) f32
     hi = flat.astype(jnp.bfloat16)
     lo = (flat - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     diff = (
-        jnp.einsum("nf,bfs->nbs", hi, sel,
+        jnp.einsum("nf,fs->ns", hi, sel2d,
                    preferred_element_type=jnp.float32)
-        + jnp.einsum("nf,bfs->nbs", lo, sel,
+        + jnp.einsum("nf,fs->ns", lo, sel2d,
                      preferred_element_type=jnp.float32)
-    )                                                            # (N,B,S)
+    ).reshape(n, B, S)                                           # (N,B,S)
     # Linear interpolation between the two adjacent angle bins: the diff
     # is linear in the selection matrix, so this equals sampling with an
     # angle-continuous (bilinear) pattern — removes the bin-boundary
     # descriptor jumps that a hard nearest-bin lookup causes.
+    # Implemented as a per-keypoint one-hot bin-weight contraction, NOT
+    # take_along_axis: a middle-axis gather from (N,B,S) lowers to
+    # serialized per-row DMAs on TPU (measured 7.3 ms/frame — the
+    # single hottest op of the whole tracking step); the einsum is a
+    # trivial fused multiply-reduce.
     two_pi = 2.0 * jnp.pi
     pos = jnp.mod(angle, two_pi) * (N_ANGLE_BINS / two_pi)
     b0 = jnp.floor(pos).astype(jnp.int32) % N_ANGLE_BINS
     b1 = (b0 + 1) % N_ANGLE_BINS
-    wfrac = (pos - jnp.floor(pos))[:, None]
-
-    def take_bin(b):
-        return jnp.take_along_axis(
-            diff, b[:, None, None].repeat(diff.shape[-1], -1), axis=1
-        )[:, 0]
-
-    dsel = (1.0 - wfrac) * take_bin(b0) + wfrac * take_bin(b1)   # (N,S)
+    wfrac = pos - jnp.floor(pos)
+    bins = jnp.arange(N_ANGLE_BINS, dtype=jnp.int32)
+    wbin = (jnp.where(b0[:, None] == bins[None, :], 1.0 - wfrac[:, None],
+                      0.0)
+            + jnp.where(b1[:, None] == bins[None, :], wfrac[:, None],
+                        0.0))                                    # (N,B)
+    dsel = jnp.einsum("nb,nbs->ns", wbin, diff)                  # (N,S)
     bits = (dsel > 0).astype(jnp.uint32)                         # I(p1)<I(p2)
     bits = bits.reshape(n, 8, 32)
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None]

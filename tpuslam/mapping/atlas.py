@@ -42,6 +42,10 @@ class ArchivedMap:
     # session's pose graphs.
     loop_edges: list = field(default_factory=list)
     imu_initialized: bool = False
+    # Retrieval index of the archived session (device-resident unpacked
+    # descriptor cache) — merge detection scores new keyframes against
+    # it without re-unpacking the archived pool per query.
+    db: object = None
 
 
 @dataclass

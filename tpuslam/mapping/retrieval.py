@@ -32,20 +32,52 @@ import jax.numpy as jnp
 from tpuslam.frontend import matching
 
 
+DB_DESC = 512   # descriptors cached per keyframe (top-by-response)
+DB_QUERY = 512  # query descriptors scored (top-by-response among valid)
+
+
 class RetrievalDB(NamedTuple):
-    """Kept for API symmetry: the descriptor 'database' is the keyframe
-    pool itself (desc (Kmax,N,8) uint32 + masks); nothing is duplicated."""
+    """Device-resident retrieval index: each keyframe's top-DB_DESC
+    descriptors (by response) stored PRE-UNPACKED as {0,1} bf16 bit rows
+    with cached popcounts. Scoring a query is then one chunked
+    (DB_QUERY,256)x(256,K*DB_DESC) MXU matmul — the bit unpacking (the
+    r03 hot spot: re-unpacking the whole pool per query put loop
+    detection at 16 ms/keyframe on chip) is paid once per keyframe at
+    insertion, and the per-query device cost is FLAT in map size."""
 
     kf_valid: jax.Array  # (Kmax,)
+    bits: jax.Array      # (Kmax, DB_DESC, 256) bf16 unpacked bits
+    nbits: jax.Array     # (Kmax, DB_DESC) f32 popcounts
+    valid: jax.Array     # (Kmax, DB_DESC)
 
 
-def empty_db(max_kf: int) -> RetrievalDB:
-    return RetrievalDB(kf_valid=jnp.zeros((max_kf,), bool))
+def empty_db(max_kf: int, s: int = DB_DESC) -> RetrievalDB:
+    return RetrievalDB(
+        kf_valid=jnp.zeros((max_kf,), bool),
+        bits=jnp.zeros((max_kf, s, 256), jnp.bfloat16),
+        nbits=jnp.zeros((max_kf, s), jnp.float32),
+        valid=jnp.zeros((max_kf, s), bool),
+    )
 
 
 @jax.jit
-def mark_keyframe(db: RetrievalDB, slot) -> RetrievalDB:
-    return RetrievalDB(kf_valid=db.kf_valid.at[slot].set(True))
+def mark_keyframe(db: RetrievalDB, slot, desc, kp_valid,
+                  response) -> RetrievalDB:
+    """Insert keyframe `slot`: cache its top-DB_DESC valid descriptors
+    by response, unpacked. Strong corners match strong corners across
+    revisits (response is stable under viewpoint change), so the
+    truncation keeps exactly the rows place recognition hits."""
+    S = db.bits.shape[1]
+    key = jnp.where(kp_valid, -response, jnp.inf)
+    order = jnp.argsort(key)[:S]
+    bits = matching.unpack_bits(desc[order])
+    return RetrievalDB(
+        kf_valid=db.kf_valid.at[slot].set(True),
+        bits=db.bits.at[slot].set(bits),
+        nbits=db.nbits.at[slot].set(
+            jnp.sum(bits, axis=1, dtype=jnp.float32)),
+        valid=db.valid.at[slot].set(kp_valid[order]),
+    )
 
 
 @jax.jit
@@ -53,7 +85,58 @@ def unmark_keyframe(db: RetrievalDB, slot) -> RetrievalDB:
     """Remove a culled keyframe from the index (KeyFrameDatabase::erase,
     /root/reference/src/KeyFrameDatabase.cc:56) — its stale descriptors
     must not keep winning retrieval scores."""
-    return RetrievalDB(kf_valid=db.kf_valid.at[slot].set(False))
+    return db._replace(kf_valid=db.kf_valid.at[slot].set(False),
+                       valid=db.valid.at[slot].set(False))
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "match_th"))
+def score_db(
+    db: RetrievalDB,
+    desc_q,       # (Nq, 8) query frame descriptors
+    valid_q,      # (Nq,)
+    response_q,   # (Nq,) keypoint responses (query-side top-k selection)
+    chunk: int = 128,
+    match_th: int = 50,
+):
+    """(Kmax,) fraction of (top-DB_QUERY) query descriptors with a
+    < match_th Hamming match in each keyframe's cached set (-1 for
+    invalid slots)."""
+    Q = min(DB_QUERY, desc_q.shape[0])
+    key = jnp.where(valid_q, -response_q, jnp.inf)
+    order = jnp.argsort(key)[:Q]
+    q_bits = matching.unpack_bits(desc_q[order])     # (Q,256)
+    q_valid = valid_q[order]
+    nq = jnp.sum(q_bits, axis=1, dtype=jnp.float32)
+    n_sel = jnp.maximum(jnp.sum(q_valid), 1.0)
+
+    Kmax, S, _ = db.bits.shape
+
+    def score_chunk(args):
+        bits_c, nb_c, val_c = args                   # (C,S,256),(C,S)x2
+        C = bits_c.shape[0]
+        ab = jax.lax.dot_general(
+            q_bits, bits_c.reshape(-1, 256),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (Q, C*S)
+        dist = nq[:, None] + nb_c.reshape(-1)[None, :] - 2.0 * ab
+        dist = jnp.where(val_c.reshape(-1)[None, :], dist, 1e9)
+        dmin = jnp.min(dist.reshape(Q, C, S), axis=-1)
+        hit = (dmin < match_th) & q_valid[:, None]
+        return jnp.sum(hit, axis=0).astype(jnp.float32) / n_sel
+
+    n_chunks = (Kmax + chunk - 1) // chunk
+    pad = n_chunks * chunk - Kmax
+    bp = jnp.pad(db.bits, ((0, pad), (0, 0), (0, 0)))
+    np_ = jnp.pad(db.nbits, ((0, pad), (0, 0)))
+    vp = jnp.pad(db.valid, ((0, pad), (0, 0)))
+    scores = jax.lax.map(
+        score_chunk,
+        (bp.reshape(n_chunks, chunk, S, 256),
+         np_.reshape(n_chunks, chunk, S),
+         vp.reshape(n_chunks, chunk, S)),
+    ).reshape(-1)[:Kmax]
+    return jnp.where(db.kf_valid, scores, -1.0)
 
 
 def accumulate_group_scores(scores, covis, min_weight: int = 15,

@@ -36,18 +36,21 @@ from tpuslam.solver.local_ba import BAProblem, BAResult
 AXIS = "mp"
 
 
-def problem_specs(axis=AXIS) -> BAProblem:
+def problem_specs(axis=AXIS, has_stereo: bool = False) -> BAProblem:
     """PartitionSpecs: landmark-indexed arrays sharded, pose arrays
     replicated. `axis` may be a tuple of mesh axes — the landmark
     dimension then shards over their product (the 2-host layout:
     ("dcn", "mp") splits landmarks across hosts over DCN and across
     each host's chips over ICI; the psum-reduced camera system rides
-    the hierarchical all-reduce XLA emits for multi-axis psum)."""
+    the hierarchical all-reduce XLA emits for multi-axis psum).
+    `has_stereo` adds the (K,M) right-image observation plane, sharded
+    along the landmark axis like every other observation grid."""
     return BAProblem(
         kf_R=P(), kf_t=P(), kf_fixed=P(),
         points=P(axis), pt_valid=P(axis),
         obs_uv=P(None, axis), obs_mask=P(None, axis),
         obs_inv_sigma2=P(None, axis),
+        obs_ur=P(None, axis) if has_stereo else None,
     )
 
 
@@ -77,7 +80,8 @@ def distributed_optimize(
     f = jax.shard_map(
         _opt,
         mesh=mesh,
-        in_specs=(problem_specs(axis), P()),
+        in_specs=(problem_specs(axis, has_stereo=prob.obs_ur is not None),
+                  P()),
         out_specs=result_specs(axis),
         check_vma=False,
     )

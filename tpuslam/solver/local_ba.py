@@ -225,8 +225,16 @@ def optimize(
 
     if axis_name is not None:
         allreduce = lambda x: jax.lax.psum(x, axis_name)  # noqa: E731
+        # The camera-block damping U += lam*eye is assembled SHARD-LOCALLY
+        # and then psum-reduced into S — without this scale, the effective
+        # camera damping would be lam * n_shards and distributed BA would
+        # drift from the single-device semantics (over-damped, mesh-size
+        # dependent). Landmark-block damping (V) is shard-local and needs
+        # no scale.
+        cam_lam_scale = 1.0 / jax.lax.psum(1.0, axis_name)
     else:
         allreduce = lambda x: x  # noqa: E731
+        cam_lam_scale = 1.0
 
     mask = prob.obs_mask & prob.pt_valid[None, :]
     maskf = mask.astype(dtype)
@@ -270,6 +278,15 @@ def optimize(
         kf_R, kf_t, points, lam, prev_cost = carry
         chi2, (ru, rv, rr), rows, Xc = chi2_of(kf_R, kf_t, points)
         w = prob.obs_inv_sigma2 * maskf
+        # Depth-positivity gate, re-evaluated each linearization: a point
+        # at/behind a camera's plane has a near-singular projection
+        # Jacobian (J ~ fx/z with z clamped) whose squared entries
+        # OVERFLOW the f32 3x3 determinant in _inv3x3_planes (inf - inf
+        # = NaN poisons the whole Schur system — measured on a
+        # perturbed global-BA problem). Such observations are geometric
+        # outliers by definition; the reference's edges drop them via
+        # depth checks too.
+        w = w * (Xc[:, 2] > 1e-2).astype(dtype)
         if use_huber:
             w = w * factors.huber_weight(chi2, th)
         res_rows = [ru, rv] + ([rr] if has_stereo else [])
@@ -318,7 +335,7 @@ def optimize(
                   for r in range(n_rows)) for l in range(3)]
 
         # LM damping (additive, Levenberg).
-        U = U + lam * jnp.eye(6, dtype=dtype)[None]
+        U = U + (cam_lam_scale * lam) * jnp.eye(6, dtype=dtype)[None]
         V = V + lam * jnp.eye(3, dtype=dtype)[:, :, None]
         Vinv = _inv3x3_planes(V)                         # (3,3,M) f32
 

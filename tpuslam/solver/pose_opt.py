@@ -78,6 +78,9 @@ def optimize_pose(
         R, t, inlier = carry
         r, r3, Xc, c2 = chi2_of(R, t)
         w = inv_sigma2 * inlier.astype(dtype)
+        # Depth-positivity gate (see local_ba.lm_step): at/behind-plane
+        # points have near-singular Jacobians that overflow f32.
+        w = w * (Xc[..., 2] > 1e-2).astype(dtype)
         if use_huber:
             w = w * factors.huber_weight(c2, th)
         J_pose, _ = factors.reproj_jacobians(Xc, R, cam_params, model)

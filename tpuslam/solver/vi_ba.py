@@ -28,7 +28,7 @@ solver.local_ba; the reduced system is dense (15K x 15K, K<=32).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +38,7 @@ from tpuslam.imu import preintegration as pre
 from tpuslam.solver import factors
 
 CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
 # 9-dof inertial-edge Huber threshold (LocalInertialBA's
 # rki->setDelta(sqrt(16.92)), /root/reference/src/Optimizer.cc:574).
 CHI2_INERTIAL = 16.92
@@ -64,6 +65,12 @@ class VIWindow(NamedTuple):
     # Extrinsics camera-from-body.
     Rcb: jax.Array        # (3,3)
     tcb: jax.Array        # (3,)
+    # Stereo-inertial: observed right-image u per observation (<0 = mono
+    # keypoint). Present => the 3-dof (u, v, u - bf/z) residual of the
+    # reference's EdgeStereo (include/G2oTypes.h:439) replaces the 2-dof
+    # row for those observations inside LocalInertialBA
+    # (src/Optimizer.cc:4504 builds EdgeStereo alongside EdgeMono).
+    obs_ur: Optional[jax.Array] = None  # (K,M)
 
 
 class VIResult(NamedTuple):
@@ -146,26 +153,50 @@ def optimize_vi(
     lambda0: float = 1e-3,
     chi2_th: float = CHI2_MONO,
     vis_weight: float = 1.0,
+    bf: float = 0.0,
+    chi2_th_stereo: float = CHI2_STEREO,
 ) -> VIResult:
-    """Sliding-window VI bundle adjustment (LocalInertialBA analog)."""
+    """Sliding-window VI bundle adjustment (LocalInertialBA analog).
+
+    When `win.obs_ur` is present (stereo-inertial), observations with
+    obs_ur > 0 carry the 3-dof (u, v, u - bf/z) residual with the
+    chi2=7.815 gate (EdgeStereo inside LocalInertialBA,
+    /root/reference/src/Optimizer.cc:4504-4630)."""
     K = win.Rwb.shape[0]
     M = win.points.shape[0]
     dtype = win.Rwb.dtype
+    has_stereo = win.obs_ur is not None
     n = DOF * K
     eye_n = jnp.eye(n, dtype=dtype)
     eye3 = jnp.eye(3, dtype=dtype)
     mask = win.obs_mask & win.pt_valid[None, :]
     maskf = mask.astype(dtype)
     free = (~win.fixed).astype(dtype)
+    # Mono keeps the scalar threshold (and below, the 2-row einsums) so
+    # the mono path stays BIT-IDENTICAL to the pre-stereo formulation:
+    # blackout-recovery trajectories are chaotic enough that a different
+    # einsum contraction order flips e2e gates (measured r04).
+    if has_stereo:
+        st = mask & (win.obs_ur > 0)
+        stf = st.astype(dtype)
+        th = jnp.where(st, chi2_th_stereo, chi2_th)
+    else:
+        th = chi2_th
 
     edge_i = jnp.arange(K - 1)
     edge_j = edge_i + 1
 
     def visual_terms(Rwb, pwb, points):
+        """Residual rows r (K,M,R) with R=3 in stereo mode (row 3 already
+        masked by stf), combined chi2, and the camera-frame geometry."""
         R_cw, t_cw = _cam_from_body(Rwb, pwb, win.Rcb, win.tcb)
         Xc = jnp.einsum("kij,mj->kmi", R_cw, points) + t_cw[:, None, :]
         pred = cameras.project(Xc, cam_params, model)
         r = pred - win.obs_uv
+        if has_stereo:
+            z = jnp.maximum(Xc[..., 2], 1e-6)
+            r3 = (pred[..., 0] - bf / z - win.obs_ur) * stf
+            r = jnp.concatenate([r, r3[..., None]], axis=-1)
         chi2 = jnp.sum(r * r, axis=-1) * win.obs_inv_sigma2
         return r, Xc, R_cw, chi2
 
@@ -178,18 +209,32 @@ def optimize_vi(
         d x_c / d p  = -R_cw, and d x_c / d x = R_cw.
         """
         Jproj = cameras.project_jac(Xc, cam_params, model)      # (K,M,2,3)
+        if has_stereo:
+            # Row 3: d(u - bf/z)/dXc = row_u + [0, 0, bf/z^2].
+            z = jnp.maximum(Xc[..., 2], 1e-6)
+            zi2 = (bf / (z * z))[..., None]
+            e3 = jnp.zeros_like(Jproj[..., 0, :]).at[..., 2].set(1.0)
+            Jr3 = Jproj[..., 0, :] + zi2 * e3
+            Jproj = jnp.concatenate([Jproj, Jr3[..., None, :]], axis=-2)
         pm = points[None, :, :] - pwb[:, None, :]               # (K,M,3)
         y = jnp.einsum("kji,kmj->kmi", Rwb, pm)
         Jth = jnp.einsum("ij,kmjl->kmil", win.Rcb, lie.hat(y))  # (K,M,3,3)
         Jp = -jnp.broadcast_to(R_cw[:, None], Xc.shape[:2] + (3, 3))
         JXc_pose = jnp.concatenate([Jth, Jp], axis=-1)          # (K,M,3,6)
-        J_pose = jnp.einsum("kmri,kmij->kmrj", Jproj, JXc_pose)  # (K,M,2,6)
-        J_pt = jnp.einsum("kmri,kij->kmrj", Jproj, R_cw)        # (K,M,2,3)
+        J_pose = jnp.einsum("kmri,kmij->kmrj", Jproj, JXc_pose)  # (K,M,R,6)
+        J_pt = jnp.einsum("kmri,kij->kmrj", Jproj, R_cw)        # (K,M,R,3)
         return J_pose, J_pt
+
+    def row_weights(w):
+        """Per-row observation weights (K,M,R): rows u,v get w; the
+        stereo row gets w masked to stereo observations."""
+        if has_stereo:
+            return jnp.stack([w, w, w * stf], axis=-1)
+        return jnp.broadcast_to(w[..., None], w.shape + (2,))
 
     def masked_cost(Rwb, pwb, vel, bg, ba, points):
         _, _, _, chi2 = visual_terms(Rwb, pwb, points)
-        vis = jnp.sum(jnp.where(mask, jnp.minimum(chi2, 4.0 * chi2_th), 0.0))
+        vis = jnp.sum(jnp.where(mask, jnp.minimum(chi2, 4.0 * th), 0.0))
         r_in, _, _ = jax.vmap(
             lambda st, i, j: _edge_residual_and_jac(
                 st, Rwb[i], pwb[i], vel[i], bg[i], ba[i],
@@ -212,14 +257,25 @@ def optimize_vi(
         # ---- visual part (landmark Schur as in local_ba) ----
         r, Xc, R_cw, chi2 = visual_terms(Rwb, pwb, points)
         w = win.obs_inv_sigma2 * maskf * vis_weight
-        w = w * factors.huber_weight(chi2, chi2_th)
+        # Depth-positivity gate (see local_ba.lm_step): at/behind-plane
+        # points have near-singular Jacobians that overflow f32.
+        w = w * (Xc[..., 2] > 1e-2).astype(dtype)
+        w = w * factors.huber_weight(chi2, th)
         J_pose, J_pt = vis_jacobians(Xc, Rwb, pwb, points, R_cw)
 
-        U6 = jnp.einsum("kmri,km,kmrj->kij", J_pose, w, J_pose)   # (K,6,6)
-        V = jnp.einsum("kmri,km,kmrj->mij", J_pt, w, J_pt)        # (M,3,3)
-        Wb = jnp.einsum("kmri,km,kmrj->kmij", J_pose, w, J_pt)    # (K,M,6,3)
-        bc6 = -jnp.einsum("kmri,km,kmr->ki", J_pose, w, r)        # (K,6)
-        bp = -jnp.einsum("kmri,km,kmr->mi", J_pt, w, r)           # (M,3)
+        if has_stereo:
+            wr = row_weights(w)                                   # (K,M,R)
+            U6 = jnp.einsum("kmri,kmr,kmrj->kij", J_pose, wr, J_pose)
+            V = jnp.einsum("kmri,kmr,kmrj->mij", J_pt, wr, J_pt)
+            Wb = jnp.einsum("kmri,kmr,kmrj->kmij", J_pose, wr, J_pt)
+            bc6 = -jnp.einsum("kmri,kmr,kmr->ki", J_pose, wr, r)
+            bp = -jnp.einsum("kmri,kmr,kmr->mi", J_pt, wr, r)
+        else:
+            U6 = jnp.einsum("kmri,km,kmrj->kij", J_pose, w, J_pose)
+            V = jnp.einsum("kmri,km,kmrj->mij", J_pt, w, J_pt)
+            Wb = jnp.einsum("kmri,km,kmrj->kmij", J_pose, w, J_pt)
+            bc6 = -jnp.einsum("kmri,km,kmr->ki", J_pose, w, r)
+            bp = -jnp.einsum("kmri,km,kmr->mi", J_pt, w, r)
 
         V = V + lam * eye3[None]
         Vinv = jnp.linalg.inv(V)
@@ -324,7 +380,7 @@ def optimize_vi(
         lm_step, init, None, length=iters)
 
     _, _, _, chi2 = visual_terms(Rwb, pwb, points)
-    inlier = mask & (chi2 <= chi2_th)
+    inlier = mask & (chi2 <= th)
     return VIResult(Rwb=Rwb, pwb=pwb, vel=vel, bg=bg, ba=ba, points=points,
                     chi2=chi2, inlier=inlier, total_chi2=total)
 
@@ -345,7 +401,7 @@ class InertialInitResult(NamedTuple):
                            # (VINS-Mono's init health check)
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+@functools.partial(jax.jit, static_argnames=("iters", "fix_scale"))
 def inertial_init(
     Rwb,              # (K,3,3) body rotations from visual SLAM (fixed)
     pwb,              # (K,3) positions' SCALABLE part (fixed up to scale)
@@ -355,6 +411,11 @@ def inertial_init(
     prior_g: float = 1e2,
     prior_a: float = 1e6,
     iters: int = 30,
+    fix_scale: bool = False,  # stereo/RGBD-inertial: the map is already
+                              # metric, so the scale variable is pinned at
+                              # 1 (the reference fixes VertexScale when
+                              # bFixedScale, src/Optimizer.cc:5391 for
+                              # IMU_STEREO sessions)
     lever=None,       # (K,3) METRIC lever-arm part: p_body(s) = s*pwb + lever.
                       # With camera-IMU extrinsics, p_wb = p_wc + Rwc tcb —
                       # the visual p_wc scales with the unknown s but the
@@ -393,18 +454,24 @@ def inertial_init(
         row_p = 6 * e
         row_v = 6 * e + 3
         dp = pwb[e + 1] - pwb[e]
-        A = A.at[row_p:row_p + 3, 0].set(dp)
+        if fix_scale:
+            # s == 1: the scaled relative position moves to the rhs.
+            b = b.at[row_p:row_p + 3].set(Rwb[e] @ preint.dP[e]
+                                          - (lev[e + 1] - lev[e]) - dp)
+        else:
+            A = A.at[row_p:row_p + 3, 0].set(dp)
+            # Metric lever part of the relative position -> rhs.
+            b = b.at[row_p:row_p + 3].set(Rwb[e] @ preint.dP[e]
+                                          - (lev[e + 1] - lev[e]))
         A = A.at[row_p:row_p + 3, 1:4].set(-0.5 * dT * dT * eye3)
         A = A.at[row_p:row_p + 3, 4 + 3 * e:7 + 3 * e].set(-dT * eye3)
-        # The metric lever part of the relative position moves to the rhs.
-        b = b.at[row_p:row_p + 3].set(Rwb[e] @ preint.dP[e]
-                                      - (lev[e + 1] - lev[e]))
         A = A.at[row_v:row_v + 3, 1:4].set(-dT * eye3)
         A = A.at[row_v:row_v + 3, 4 + 3 * e:7 + 3 * e].set(-eye3)
         A = A.at[row_v:row_v + 3, 7 + 3 * e:10 + 3 * e].set(eye3)
         b = b.at[row_v:row_v + 3].set(Rwb[e] @ preint.dV[e])
     x_lin = jnp.linalg.lstsq(A, b)[0]
-    s_lin = jnp.maximum(x_lin[0], 1e-3)
+    s_lin = (jnp.asarray(1.0, dtype) if fix_scale
+             else jnp.maximum(x_lin[0], 1e-3))
     g_lin = x_lin[1:4]
     v_lin = x_lin[4:].reshape(K, 3)
 
@@ -429,7 +496,9 @@ def inertial_init(
         ba = th[3 * K + 6 : 3 * K + 9]
         Rwg = Rwg0 @ lie.so3_exp(jnp.concatenate([dg, jnp.zeros(1, dtype)]))
         g = Rwg @ jnp.asarray([0.0, 0.0, -gravity_mag], dtype)
-        return vel, Rwg, jnp.exp(log_s), g, bg, ba
+        scale = (jnp.asarray(1.0, dtype) if fix_scale
+                 else jnp.exp(log_s))  # frozen param -> zero gradient;
+        return vel, Rwg, scale, g, bg, ba  # LM damping keeps H regular
 
     def residuals(th):
         vel, Rwg, scale, g, bg, ba = unpack(th)
@@ -572,24 +641,44 @@ def optimize_pose_vi(
     iters: int = 4,
     chi2_th: float = CHI2_MONO,
     damping: float = 1e-5,
+    ur: Optional[jax.Array] = None,  # (N,) right-image u; <0 = mono
+    bf: float = 0.0,
+    chi2_th_stereo: float = CHI2_STEREO,
 ) -> PoseVIResult:
     """Ref: PoseInertialOptimizationLastKeyFrame (Optimizer.cc:7608):
     frame 15-dof state vs fixed last-keyframe state; visual reprojection
-    + one inertial edge + bias random walk; chi2-gated rounds."""
+    (+ the stereo row for observations with ur > 0 —
+    EdgeStereoOnlyPose, Optimizer.cc:7790) + one inertial edge + bias
+    random walk; chi2-gated rounds."""
     dtype = Rwb0.dtype
+    has_stereo = ur is not None
+    if has_stereo:
+        st = (ur > 0) & valid
+        stf = st.astype(dtype)
+        th = jnp.where(st, chi2_th_stereo, chi2_th)
+    else:
+        th = chi2_th
 
     def vis_chi2(Rwb, pwb):
         R_cw, t_cw = _cam_from_body(Rwb, pwb, Rcb, tcb)
         Xc = jnp.einsum("ij,nj->ni", R_cw, X_w) + t_cw
         pred = cameras.project(Xc, cam_params, model)
         r = pred - uv
-        return r, Xc, R_cw, jnp.sum(r * r, axis=-1) * inv_sigma2
+        c2 = jnp.sum(r * r, axis=-1)
+        r3 = None
+        if has_stereo:
+            z = jnp.maximum(Xc[..., 2], 1e-6)
+            r3 = (pred[..., 0] - bf / z - ur) * stf
+            c2 = c2 + r3 * r3
+        return r, r3, Xc, R_cw, c2 * inv_sigma2
 
     def build_Hb(Rwb, pwb, vel, bg, ba, inlier, use_huber):
-        r, Xc, R_cw, chi2 = vis_chi2(Rwb, pwb)
+        r, r3, Xc, R_cw, chi2 = vis_chi2(Rwb, pwb)
         w = inv_sigma2 * inlier.astype(dtype)
+        # Depth-positivity gate (see local_ba.lm_step).
+        w = w * (Xc[..., 2] > 1e-2).astype(dtype)
         if use_huber:
-            w = w * factors.huber_weight(chi2, chi2_th)
+            w = w * factors.huber_weight(chi2, th)
 
         Jproj = cameras.project_jac(Xc, cam_params, model)    # (N,2,3)
         y = jnp.einsum("ji,nj->ni", Rwb, X_w - pwb)
@@ -602,6 +691,14 @@ def optimize_pose_vi(
         b = jnp.zeros((DOF,), dtype)
         H = H.at[:6, :6].add(jnp.einsum("nri,n,nrj->ij", Jv, w, Jv))
         b = b.at[:6].add(-jnp.einsum("nri,n,nr->i", Jv, w, r))
+        if has_stereo:
+            # d(u - bf/z)/d(tangent) = row_u + (bf/z^2) * dz/d(tangent),
+            # with dz/dXc = e3 so dz/d(tangent) = JXc[:, 2, :].
+            z = jnp.maximum(Xc[..., 2], 1e-6)
+            J3 = Jv[:, 0, :] + (bf / (z * z))[:, None] * JXc[:, 2, :]
+            w3 = w * stf
+            H = H.at[:6, :6].add(jnp.einsum("ni,n,nj->ij", J3, w3, J3))
+            b = b.at[:6].add(-jnp.einsum("ni,n,n->i", J3, w3, r3))
 
         # Inertial edge (KF fixed): AD wrt the frame tangent.
         def f(d):
@@ -639,8 +736,8 @@ def optimize_pose_vi(
         state = jax.lax.fori_loop(
             0, iters, lambda i, c: gn_iter(c, use_huber), state)
         Rwb, pwb, vel, bg, ba, _ = state
-        _, _, _, chi2 = vis_chi2(Rwb, pwb)
-        inlier = valid & (chi2 <= chi2_th)
+        _, _, _, _, chi2 = vis_chi2(Rwb, pwb)
+        inlier = valid & (chi2 <= th)
         state = (Rwb, pwb, vel, bg, ba, inlier)
 
     Rwb, pwb, vel, bg, ba, inlier = state
@@ -683,17 +780,27 @@ def optimize_pose_vi_prior(
     iters: int = 4,
     chi2_th: float = CHI2_MONO,
     damping: float = 1e-5,
+    ur: Optional[jax.Array] = None,  # (N,) right-image u; <0 = mono
+    bf: float = 0.0,
+    chi2_th_stereo: float = CHI2_STEREO,
 ) -> PoseVIPriorResult:
     """Ref: PoseInertialOptimizationLastFrame (Optimizer.cc:8009): joint
     30-dof problem over (previous frame, current frame) — visual
-    reprojection on the current pose, one inertial edge, bias random
-    walk, and the previous frame's 15x15 marginal prior
-    (EdgePriorPoseImu, include/G2oTypes.h:798). After convergence the
-    previous frame is Schur-marginalized; the reduced 15x15 information
-    becomes the next frame's prior — frame-to-frame VIO stays O(1) in
-    trajectory length."""
+    reprojection on the current pose (stereo row for ur > 0), one
+    inertial edge, bias random walk, and the previous frame's 15x15
+    marginal prior (EdgePriorPoseImu, include/G2oTypes.h:798). After
+    convergence the previous frame is Schur-marginalized; the reduced
+    15x15 information becomes the next frame's prior — frame-to-frame
+    VIO stays O(1) in trajectory length."""
     dtype = Rwb0.dtype
     D2 = 2 * DOF
+    has_stereo = ur is not None
+    if has_stereo:
+        st = (ur > 0) & valid
+        stf = st.astype(dtype)
+        th = jnp.where(st, chi2_th_stereo, chi2_th)
+    else:
+        th = chi2_th
     # Prior linearization anchor = incoming previous state.
     aRwb, apwb, avel, abg, aba = pRwb, ppwb, pvel, pbg, pba
 
@@ -702,7 +809,13 @@ def optimize_pose_vi_prior(
         Xc = jnp.einsum("ij,nj->ni", R_cw, X_w) + t_cw
         pred = cameras.project(Xc, cam_params, model)
         r = pred - uv
-        return r, Xc, R_cw, jnp.sum(r * r, axis=-1) * inv_sigma2
+        c2 = jnp.sum(r * r, axis=-1)
+        r3 = None
+        if has_stereo:
+            z = jnp.maximum(Xc[..., 2], 1e-6)
+            r3 = (pred[..., 0] - bf / z - ur) * stf
+            c2 = c2 + r3 * r3
+        return r, r3, Xc, R_cw, c2 * inv_sigma2
 
     def prior_tangent(Rwb, pwb, vel, bg, ba):
         """Tangent of the prev state wrt the prior anchor (matches
@@ -717,10 +830,12 @@ def optimize_pose_vi_prior(
         b = jnp.zeros((D2,), dtype)
 
         # Visual terms on the current pose (rows 15:21 of the tangent).
-        r, Xc, R_cw, chi2 = vis_chi2(Rwb, pwb)
+        r, r3, Xc, R_cw, chi2 = vis_chi2(Rwb, pwb)
         w = inv_sigma2 * inlier.astype(dtype)
+        # Depth-positivity gate (see local_ba.lm_step).
+        w = w * (Xc[..., 2] > 1e-2).astype(dtype)
         if use_huber:
-            w = w * factors.huber_weight(chi2, chi2_th)
+            w = w * factors.huber_weight(chi2, th)
         Jproj = cameras.project_jac(Xc, cam_params, model)
         y = jnp.einsum("ji,nj->ni", Rwb, X_w - pwb)
         Jth = jnp.einsum("ij,njl->nil", Rcb, lie.hat(y))
@@ -730,6 +845,14 @@ def optimize_pose_vi_prior(
         H = H.at[DOF:DOF + 6, DOF:DOF + 6].add(
             jnp.einsum("nri,n,nrj->ij", Jv, w, Jv))
         b = b.at[DOF:DOF + 6].add(-jnp.einsum("nri,n,nr->i", Jv, w, r))
+        if has_stereo:
+            z = jnp.maximum(Xc[..., 2], 1e-6)
+            J3 = Jv[:, 0, :] + (bf / (z * z))[:, None] * JXc[:, 2, :]
+            w3 = w * stf
+            H = H.at[DOF:DOF + 6, DOF:DOF + 6].add(
+                jnp.einsum("ni,n,nj->ij", J3, w3, J3))
+            b = b.at[DOF:DOF + 6].add(
+                -jnp.einsum("ni,n,n->i", J3, w3, r3))
 
         # Inertial edge between the two frames (AD over both tangents).
         def f(dp, dc):
@@ -780,8 +903,8 @@ def optimize_pose_vi_prior(
         carry = jax.lax.fori_loop(
             0, iters, lambda i, c: gn_iter(c, use_huber), carry)
         Rwb, pwb = carry[5], carry[6]
-        _, _, _, chi2 = vis_chi2(Rwb, pwb)
-        inlier = valid & (chi2 <= chi2_th)
+        _, _, _, _, chi2 = vis_chi2(Rwb, pwb)
+        inlier = valid & (chi2 <= th)
         carry = carry[:-1] + (inlier,)
 
     state, inlier = carry[:-1], carry[-1]

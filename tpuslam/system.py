@@ -36,11 +36,9 @@ class System:
     def __init__(self, cfg: SLAMConfig):
         if cfg.sensor not in self.SENSORS:
             raise ValueError(f"unknown sensor mode {cfg.sensor!r}")
-        if cfg.sensor not in ("mono", "imu_mono", "stereo", "rgbd"):
-            raise NotImplementedError(
-                f"sensor mode {cfg.sensor!r} not wired into the tracker yet")
-        if cfg.sensor in ("stereo", "rgbd") and cfg.camera.bf <= 0:
-            raise ValueError("stereo/rgbd requires camera.bf > 0")
+        if (cfg.sensor in ("stereo", "rgbd", "imu_stereo")
+                and cfg.camera.bf <= 0):
+            raise ValueError("stereo/rgbd/imu_stereo requires camera.bf > 0")
         self.cfg = cfg
         self.tracker = MonoTracker(cfg)
         self.timestamps: List[float] = []
@@ -86,6 +84,21 @@ class System:
         ts = time.time() if timestamp is None else float(timestamp)
         self.timestamps.append(ts)
         return self.tracker.process(img, imu=imu, ts=ts)
+
+    def track_stereo_inertial(self, img_left: np.ndarray,
+                              img_right: np.ndarray, imu,
+                              timestamp: Optional[float] = None
+                              ) -> FrameResult:
+        """TrackStereo with IMU (the reference's IMU_STEREO grab path,
+        src/Tracking.cc:983 + GrabImuData :1202): rectified left/right
+        pair plus the (gyro (S,3), acc (S,3), dt (S,)) samples since the
+        previous frame."""
+        if self._shutdown:
+            raise RuntimeError("system is shut down")
+        ts = time.time() if timestamp is None else float(timestamp)
+        self.timestamps.append(ts)
+        return self.tracker.process(img_left, img_right=img_right,
+                                    imu=imu, ts=ts)
 
     # -- modes / lifecycle ---------------------------------------------------
 
@@ -145,6 +158,11 @@ class System:
         Path(path).write_text(self.trajectory_tum())
 
     def save_keyframe_trajectory(self, path):
+        """SaveKeyFrameTrajectoryEuRoC (/root/reference/src/System.cc:746):
+        TUM-format lines `timestamp tx ty tz qx qy qz qw` per keyframe —
+        the keyframe's frame timestamp, so the output feeds standard
+        evaluation tools (evaluate_ate_scale.py / evo). Sessions run
+        without timestamps fall back to the slot index."""
         ms = self.tracker.ms
         lines = []
         for slot in self.tracker.kf_slots:
@@ -152,11 +170,31 @@ class System:
             t_cw = np.asarray(ms.kf_t[slot])
             c = -R_cw.T @ t_cw
             q = np.asarray(lie.rotmat_to_quat(jnp.asarray(R_cw.T)))
+            ts = self.tracker.kf_ts.get(slot)
+            ts = float(ts) if ts is not None else float(slot)
             lines.append(
-                f"{slot} {c[0]:.7f} {c[1]:.7f} {c[2]:.7f} "
+                f"{ts:.6f} {c[0]:.7f} {c[1]:.7f} {c[2]:.7f} "
                 f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}"
             )
         Path(path).write_text("\n".join(lines) + "\n")
+
+    def trajectory_kitti(self) -> str:
+        """KITTI format (SaveTrajectoryKITTI, /root/reference/src/
+        System.cc:798): one line per frame, the 3x4 world-from-camera
+        matrix [R_wc | c] row-major — no timestamps (KITTI sequences are
+        index-aligned)."""
+        lines = []
+        for packed in self.tracker.packed_trajectory():
+            R_cw = packed[:9].reshape(3, 3)
+            t_cw = packed[9:]
+            R_wc = R_cw.T
+            c = -R_wc @ t_cw
+            m = np.concatenate([R_wc, c[:, None]], axis=1).reshape(-1)
+            lines.append(" ".join(f"{v:.9e}" for v in m))
+        return "\n".join(lines) + "\n"
+
+    def save_trajectory_kitti(self, path):
+        Path(path).write_text(self.trajectory_kitti())
 
     # -- checkpoint / resume (SaveAtlas/LoadAtlas, first-class here) ---------
 
@@ -171,7 +209,7 @@ class System:
         tr.flush()
         arrays = {f"ms_{k}": np.asarray(v) for k, v in tr.ms._asdict().items()}
         inertial = {}
-        if self.cfg.sensor == "imu_mono":
+        if self.cfg.sensor in ("imu_mono", "imu_stereo"):
             inertial = {
                 "imu_bg": np.asarray(tr.bg),
                 "imu_ba": np.asarray(tr.ba),
@@ -225,7 +263,8 @@ class System:
         tr.kf_slots = [int(x) for x in data["kf_slots"]]
         tr.last_R = data["last_R"]
         tr.last_t = data["last_t"]
-        if self.cfg.sensor == "imu_mono" and "imu_bg" in data.files:
+        if (self.cfg.sensor in ("imu_mono", "imu_stereo")
+                and "imu_bg" in data.files):
             tr.bg = data["imu_bg"]
             tr.ba = data["imu_ba"]
             tr.vel = data["imu_vel"]

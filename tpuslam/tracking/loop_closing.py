@@ -62,8 +62,11 @@ def _strong(ms: mapstate.MapState, slot: int):
 
 
 def on_new_keyframe(ls: LoopState, ms: mapstate.MapState, slot: int):
-    """Register the keyframe in the retrieval index."""
-    ls.db = retrieval.mark_keyframe(ls.db, slot)
+    """Register the keyframe in the retrieval index (caches its top
+    descriptors pre-unpacked — see retrieval.RetrievalDB)."""
+    ls.db = retrieval.mark_keyframe(ls.db, slot, ms.kf_desc[slot],
+                                    ms.kf_kp_valid[slot],
+                                    ms.kf_response[slot])
 
 
 def detect_loop(ls: LoopState, ms: mapstate.MapState, slot: int,
@@ -77,9 +80,9 @@ def detect_loop(ls: LoopState, ms: mapstate.MapState, slot: int,
     if (len(kf_slots) < ls.min_gap + 3
             or cur_order - ls.last_loop_order < ls.min_gap):
         return None
-    scores = np.array(retrieval.score_keyframes(
-        ms.kf_desc, ms.kf_kp_valid, ls.db.kf_valid,
-        ms.kf_desc[slot], _strong(ms, slot), match_th=25))
+    scores = np.array(retrieval.score_db(
+        ls.db, ms.kf_desc[slot], _strong(ms, slot),
+        ms.kf_response[slot], match_th=25))
     # Exclude the temporally-adjacent window AND every covisibility-
     # connected keyframe (spConnectedKeyFrames exclusion,
     # KeyFrameDatabase.cc:620 + LoopClosing.cc:  the query's covisible
@@ -153,11 +156,16 @@ def detect_merge(ls: LoopState, ms: mapstate.MapState, slot: int,
         return None
     q_desc = ms.kf_desc[slot]
     q_valid = _strong(ms, slot)
+    q_resp = ms.kf_response[slot]
     best_map, best_slot, best_score = -1, -1, 0.0
     for mi, am in enumerate(atlas.maps):
-        scores = np.asarray(retrieval.score_keyframes(
-            am.ms.kf_desc, am.ms.kf_kp_valid, am.ms.kf_valid,
-            q_desc, q_valid, match_th=25))
+        if getattr(am, "db", None) is not None:
+            scores = np.asarray(retrieval.score_db(
+                am.db, q_desc, q_valid, q_resp, match_th=25))
+        else:
+            scores = np.asarray(retrieval.score_keyframes(
+                am.ms.kf_desc, am.ms.kf_kp_valid, am.ms.kf_valid,
+                q_desc, q_valid, match_th=25))
         cand = int(np.argmax(scores))
         if scores[cand] > best_score:
             best_map, best_slot, best_score = mi, cand, float(scores[cand])
@@ -493,9 +501,8 @@ def relocalize(ls: LoopState, ms: mapstate.MapState, feats, cam_params,
 
     if key is None:
         key = jax.random.PRNGKey(0)
-    scores = np.asarray(retrieval.score_keyframes(
-        ms.kf_desc, ms.kf_kp_valid, ls.db.kf_valid,
-        feats.desc, feats.valid))
+    scores = np.asarray(retrieval.score_db(
+        ls.db, feats.desc, feats.valid, feats.response))
     # Rank GROUPS by accumulated covisibility score, then reduce each
     # group to its best RAW-score member and suppress candidates
     # covisible with an already-selected one
