@@ -37,7 +37,7 @@ obs_v = prob.obs_uv[..., 1]
 
 def stage(points, upto):
     kf_R, kf_t = prob.kf_R, prob.kf_t
-    u, v, ur, rows, Xc = local_ba._proj_rows(
+    u, v, ur, _uvr, rows, Xc = local_ba._proj_rows(
         kf_R, kf_t, points, cam, "pinhole", 0.0, False)
     ru, rv = u - obs_u, v - obs_v
     chi2 = (ru * ru + rv * rv) * prob.obs_inv_sigma2

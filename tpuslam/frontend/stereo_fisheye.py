@@ -54,7 +54,11 @@ def match_stereo_fisheye(
                                        # the metric map — precision
                                        # beats recall here
 ):
-    """Returns (StereoMatches, xc (N,3) left-camera-frame 3D points)."""
+    """Returns (StereoMatches, xc (N,3) left-camera-frame 3D points,
+    uv_r (N,2) observed right-image pixel of each accepted match, -1
+    where unmatched — the measurement of the right-camera reprojection
+    residual in BA (EdgeSE3ProjectXYZToBody,
+    /root/reference/include/OptimizableTypes.h:117))."""
     # Lapping-area restriction (ComputeStereoFishEyeMatches only matches
     # the monoLeft/monoRight split, Frame.cc:1239).
     lap_l = ((left.uv[:, 0] >= lapping_l[0])
@@ -127,4 +131,5 @@ def match_stereo_fisheye(
         depth=depth,
         valid=ok,
     )
-    return sm, jnp.where(ok[:, None], Xc_l, 0.0)
+    uv_r_obs = jnp.where(ok[:, None], right.uv[j], -1.0)
+    return sm, jnp.where(ok[:, None], Xc_l, 0.0), uv_r_obs

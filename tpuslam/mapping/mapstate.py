@@ -48,6 +48,13 @@ class MapState(NamedTuple):
     # (Frame::mvuRight, /root/reference/include/Frame.h); < 0 = mono
     # observation. Feeds the 3-dof EdgeStereo residual in BA.
     kf_ur: jax.Array        # (K,N)
+    # Non-rectified (fisheye) rigs: observed RIGHT-image pixel of the
+    # keypoint's stereo match (< 0 = no right observation). Feeds the
+    # right-camera reprojection residual through the rig extrinsics
+    # (EdgeSE3ProjectXYZToBody, /root/reference/include/
+    # OptimizableTypes.h:117) in BA — the metric-scale constraint of
+    # KB8 stereo, which has no rectified u-bf/z coordinate.
+    kf_uvr: jax.Array       # (K,N,2)
     # Map points.
     mp_pos: jax.Array       # (M,3)
     mp_valid: jax.Array     # (M,)
@@ -83,6 +90,7 @@ def empty(max_kf: int, max_mp: int, n_feat: int, dtype=jnp.float32) -> MapState:
         kf_response=jnp.zeros((max_kf, n_feat), dtype),
         kf_obs_mp=jnp.full((max_kf, n_feat), -1, jnp.int32),
         kf_ur=jnp.full((max_kf, n_feat), -1.0, dtype),
+        kf_uvr=jnp.full((max_kf, n_feat, 2), -1.0, dtype),
         mp_pos=jnp.zeros((max_mp, 3), dtype),
         mp_valid=jnp.zeros((max_mp,), bool),
         mp_desc=jnp.zeros((max_mp, 8), jnp.uint32),
@@ -97,13 +105,16 @@ def empty(max_kf: int, max_mp: int, n_feat: int, dtype=jnp.float32) -> MapState:
 
 @jax.jit
 def add_keyframe(ms: MapState, slot, R, t, feats: FrameFeatures, assoc,
-                 ur=None):
+                 ur=None, uvr=None):
     """Insert a frame as keyframe at `slot`; `assoc` (N,) are the frame's
     map-point associations (mirrors Tracking::CreateNewKeyFrame,
     /root/reference/src/Tracking.cc:3298). `ur` (N,): per-keypoint
-    right-image u (stereo/RGBD), < 0 = mono."""
+    right-image u (stereo/RGBD), < 0 = mono. `uvr` (N,2): per-keypoint
+    observed right-image pixel of a fisheye rig (< 0 = no match)."""
     if ur is None:
         ur = jnp.full(feats.uv.shape[:1], -1.0, ms.kf_ur.dtype)
+    if uvr is None:
+        uvr = jnp.full(feats.uv.shape[:1] + (2,), -1.0, ms.kf_uvr.dtype)
     return ms._replace(
         kf_R=ms.kf_R.at[slot].set(R),
         kf_t=ms.kf_t.at[slot].set(t),
@@ -115,6 +126,7 @@ def add_keyframe(ms: MapState, slot, R, t, feats: FrameFeatures, assoc,
         kf_response=ms.kf_response.at[slot].set(feats.response),
         kf_obs_mp=ms.kf_obs_mp.at[slot].set(assoc),
         kf_ur=ms.kf_ur.at[slot].set(ur),
+        kf_uvr=ms.kf_uvr.at[slot].set(uvr),
     )
 
 
@@ -209,7 +221,7 @@ def local_point_ids(ms: MapState, kf_ids, cap: int):
     return mp_ids, local
 
 
-@functools.partial(jax.jit, static_argnames=("stereo",))
+@functools.partial(jax.jit, static_argnames=("stereo", "fisheye"))
 def build_ba_problem(
     ms: MapState,
     kf_ids,            # (W,) keyframe slots (-1 = unused row)
@@ -218,6 +230,7 @@ def build_ba_problem(
     local_of_global,   # (M,)
     inv_sigma2_lut,    # (L,) per-level 1/sigma^2
     stereo: bool = False,  # gather kf_ur into 3-dof stereo observations
+    fisheye: bool = False,  # gather kf_uvr into right-camera observations
 ) -> BAProblem:
     """Gather the dense (W,P) observation grid for the local-BA window."""
     W = kf_ids.shape[0]
@@ -244,6 +257,10 @@ def build_ba_problem(
     if stereo:
         obs_ur = jnp.full((W, P), -1.0, ms.kf_uv.dtype).at[rows, tgt].set(
             ms.kf_ur[kf_safe], mode="drop")
+    obs_uvr = None
+    if fisheye:
+        obs_uvr = jnp.full((W, P, 2), -1.0, ms.kf_uv.dtype).at[
+            rows, tgt].set(ms.kf_uvr[kf_safe], mode="drop")
 
     pts = ms.mp_pos[jnp.clip(mp_ids, 0, ms.mp_capacity - 1)]
     pt_valid = (mp_ids >= 0) & ms.mp_valid[
@@ -259,6 +276,7 @@ def build_ba_problem(
         obs_mask=obs_mask,
         obs_inv_sigma2=obs_w,
         obs_ur=obs_ur,
+        obs_uvr=obs_uvr,
     )
 
 
@@ -348,15 +366,26 @@ def covisibility_weights(ms: MapState, slot):
     `slot` — the covisibility-graph edge weight
     (KeyFrame::UpdateConnections, /root/reference/src/KeyFrame.cc:407;
     edges kept at weight >= 15, :449). Computed fresh from `kf_obs_mp`
-    (one gather over the pool) instead of maintaining adjacency lists."""
+    instead of maintaining adjacency lists.
+
+    Formulated as scatter(one-hot pool rows) + ONE (K,cap)x(cap,)
+    matvec: the obvious member[obs] gather is 524k random lookups that
+    serialize on TPU (measured 5.6 ms at the full pool; this form runs
+    0.9 ms). bf16 one-hot entries are exact; accumulation is forced
+    f32 so shared counts above 256 stay exact integers."""
     mine = ms.kf_obs_mp[slot]
     cap = ms.mp_capacity
+    K = ms.kf_capacity
     mine_ok = (mine >= 0) & ms.mp_valid[jnp.clip(mine, 0, cap - 1)]
-    member = jnp.zeros((cap,), bool).at[
-        jnp.where(mine_ok, mine, cap)].set(True, mode="drop")
+    member = jnp.zeros((cap,), jnp.bfloat16).at[
+        jnp.where(mine_ok, mine, cap)].set(1.0, mode="drop")
     obs = ms.kf_obs_mp                                  # (K,N)
-    hit = member[jnp.clip(obs, 0, cap - 1)] & (obs >= 0)
-    w = jnp.sum(hit, axis=1).astype(jnp.int32)
+    rows = jnp.broadcast_to(jnp.arange(K)[:, None], obs.shape)
+    B = jnp.zeros((K, cap), jnp.bfloat16).at[
+        rows, jnp.where(obs >= 0, obs, cap)].set(1.0, mode="drop")
+    w = jax.lax.dot_general(
+        B, member, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
     w = jnp.where(ms.kf_valid, w, 0)
     return w.at[slot].set(0)
 

@@ -96,6 +96,7 @@ def weld(ms_dst: mapstate.MapState, ms_src: mapstate.MapState,
             ms_src.kf_response, mode="drop"),
         kf_obs_mp=ms_dst.kf_obs_mp.at[idx].set(obs_new, mode="drop"),
         kf_ur=ms_dst.kf_ur.at[idx].set(ms_src.kf_ur, mode="drop"),
+        kf_uvr=ms_dst.kf_uvr.at[idx].set(ms_src.kf_uvr, mode="drop"),
     )
 
     # --- map points.

@@ -36,7 +36,8 @@ from tpuslam.solver.local_ba import BAProblem, BAResult
 AXIS = "mp"
 
 
-def problem_specs(axis=AXIS, has_stereo: bool = False) -> BAProblem:
+def problem_specs(axis=AXIS, has_stereo: bool = False,
+                  has_rcam: bool = False) -> BAProblem:
     """PartitionSpecs: landmark-indexed arrays sharded, pose arrays
     replicated. `axis` may be a tuple of mesh axes — the landmark
     dimension then shards over their product (the 2-host layout:
@@ -51,6 +52,7 @@ def problem_specs(axis=AXIS, has_stereo: bool = False) -> BAProblem:
         obs_uv=P(None, axis), obs_mask=P(None, axis),
         obs_inv_sigma2=P(None, axis),
         obs_ur=P(None, axis) if has_stereo else None,
+        obs_uvr=P(None, axis, None) if has_rcam else None,
     )
 
 
@@ -80,7 +82,8 @@ def distributed_optimize(
     f = jax.shard_map(
         _opt,
         mesh=mesh,
-        in_specs=(problem_specs(axis, has_stereo=prob.obs_ur is not None),
+        in_specs=(problem_specs(axis, has_stereo=prob.obs_ur is not None,
+                                has_rcam=prob.obs_uvr is not None),
                   P()),
         out_specs=result_specs(axis),
         check_vma=False,

@@ -52,6 +52,11 @@ from tpuslam.solver import factors
 
 CHI2_MONO = 5.991
 CHI2_STEREO = 7.815
+# 2-dof left + 2-dof right reprojection summed per observation cell:
+# chi2_{0.05, 4 dof} (the reference gates its left and right edges
+# separately at 5.991 each; the dense grid holds ONE chi2 per (kf,pt)
+# cell, so paired observations are gated jointly at the 4-dof quantile).
+CHI2_RCAM = 9.488
 
 
 class BAProblem(NamedTuple):
@@ -64,6 +69,11 @@ class BAProblem(NamedTuple):
     obs_mask: jax.Array    # (K,M) bool
     obs_inv_sigma2: jax.Array  # (K,M)
     obs_ur: Optional[jax.Array] = None  # (K,M) right-image u; <0 = mono
+    # Non-rectified rigs: observed right-camera pixel (<0 = no right
+    # observation). Adds two reprojection rows through the rig
+    # extrinsics (EdgeSE3ProjectXYZToBody,
+    # /root/reference/include/OptimizableTypes.h:117).
+    obs_uvr: Optional[jax.Array] = None  # (K,M,2)
 
 
 class BAResult(NamedTuple):
@@ -84,12 +94,19 @@ def _residuals(prob: BAProblem, kf_R, kf_t, points, cam_params, model):
     return r, Xc, chi2
 
 
-def _proj_rows(kf_R, kf_t, points, cam_params, model, bf, has_stereo):
+def _proj_rows(kf_R, kf_t, points, cam_params, model, bf, has_stereo,
+               rig=None):
     """Landmark-last projection + Jacobian planes.
 
-    Returns (u, v, ur, rows) with u/v/ur (K,M) predictions and `rows` a
-    list of per-residual-row tuples (p, q, s) of (K,M) planes — the row
-    of d(residual)/d(X_cam). ur/row 3 only when has_stereo.
+    Returns (u, v, ur, uvr, rows, Xc) with u/v/ur (K,M) predictions,
+    uvr a (u_r, v_r) pair of (K,M) right-camera predictions (or None),
+    and `rows` a list of per-residual-row tuples (p, q, s) of (K,M)
+    planes — the row of d(residual)/d(X_cam_left). ur/row 3 only when
+    has_stereo; the two right-camera rows only when `rig` is given as
+    (cam_params_r, R_rl, t_rl) with X_r = R_rl X_l + t_rl: their
+    Jacobian w.r.t. the LEFT camera point is J_proj(X_r) @ R_rl
+    (chain rule through the constant rig extrinsics — the
+    EdgeSE3ProjectXYZToBody linearization).
     """
     Xw = points.T                                        # (3,M)
     Xc = jnp.einsum("kij,jm->kim", kf_R, Xw) + kf_t[:, :, None]  # (K,3,M)
@@ -123,7 +140,20 @@ def _proj_rows(kf_R, kf_t, points, cam_params, model, bf, has_stereo):
         ur = u - bf * zi
         p, q, s = rows[0]
         rows = rows + [(p, q, s + bf * zi * zi)]
-    return u, v, ur, rows, Xc
+    uvr = None
+    if rig is not None:
+        cam_r, R_rl, t_rl = rig
+        Xr = jnp.einsum("ij,kjm->kim", R_rl, Xc) + t_rl[:, None]  # (K,3,M)
+        Xr_t = jnp.moveaxis(Xr, 1, 2)                    # (K,M,3)
+        uv_r = cameras.project(Xr_t, cam_r, model)       # (K,M,2)
+        Jr = cameras.project_jac(Xr_t, cam_r, model)     # (K,M,2,3)
+        # Compose with dX_r/dX_l = R_rl (plane-wise, no relayout).
+        for i in range(2):
+            rows = rows + [tuple(
+                sum(Jr[..., i, j] * R_rl[j, c] for j in range(3))
+                for c in range(3))]
+        uvr = (uv_r[..., 0], uv_r[..., 1])
+    return u, v, ur, uvr, rows, Xc
 
 
 def _row_jacobian_planes(row, Xc, kf_R):
@@ -185,6 +215,10 @@ def optimize(
     n_free: int = None,
     trust_region: bool = True,
     compute_dtype: str = "float32",
+    cam_params_r=None,     # right-camera intrinsics (fisheye rigs)
+    R_rl=None,             # rig extrinsics: X_r = R_rl X_l + t_rl
+    t_rl=None,
+    chi2_th_rcam: float = CHI2_RCAM,
 ) -> BAResult:
     """When `axis_name` is set, the problem's landmark dimension M is a
     LOCAL shard inside a `shard_map` over that mesh axis: every sum over
@@ -221,7 +255,11 @@ def optimize(
     F = K if n_free is None else n_free
     dtype = prob.kf_R.dtype
     has_stereo = prob.obs_ur is not None
-    n_rows = 3 if has_stereo else 2
+    has_rcam = prob.obs_uvr is not None
+    assert not (has_stereo and has_rcam), (
+        "rectified u_r rows and rig right-camera rows are exclusive")
+    rig = ((cam_params_r, R_rl, t_rl) if has_rcam else None)
+    n_rows = (3 if has_stereo else 2) + (2 if has_rcam else 0)
 
     if axis_name is not None:
         allreduce = lambda x: jax.lax.psum(x, axis_name)  # noqa: E731
@@ -244,20 +282,31 @@ def optimize(
         st_mask = mask & (prob.obs_ur > 0)
         stf = st_mask.astype(dtype)
         th = jnp.where(st_mask, chi2_th_stereo, chi2_th)
+    elif has_rcam:
+        rc_mask = mask & (prob.obs_uvr[..., 0] >= 0)
+        rcf = rc_mask.astype(dtype)
+        th = jnp.where(rc_mask, chi2_th_rcam, chi2_th)
     else:
         th = jnp.full((K, M), chi2_th, dtype)
 
     def chi2_of(kf_R, kf_t, points):
-        u, v, ur, rows, Xc = _proj_rows(kf_R, kf_t, points, cam_params,
-                                        model, bf, has_stereo)
+        u, v, ur, uvr, rows, Xc = _proj_rows(
+            kf_R, kf_t, points, cam_params, model, bf, has_stereo,
+            rig=rig)
         ru = u - obs_u
         rv = v - obs_v
         c2 = ru * ru + rv * rv
-        rr = None
+        extra = []
         if has_stereo:
             rr = (ur - prob.obs_ur) * stf
             c2 = c2 + rr * rr
-        return c2 * prob.obs_inv_sigma2, (ru, rv, rr), rows, Xc
+            extra = [rr]
+        if has_rcam:
+            rru = (uvr[0] - prob.obs_uvr[..., 0]) * rcf
+            rrv = (uvr[1] - prob.obs_uvr[..., 1]) * rcf
+            c2 = c2 + rru * rru + rrv * rrv
+            extra = [rru, rrv]
+        return c2 * prob.obs_inv_sigma2, (ru, rv, extra), rows, Xc
 
     def cost_from_chi2(c2):
         return allreduce(jnp.sum(jnp.where(mask, jnp.minimum(c2, 4.0 * th),
@@ -276,7 +325,7 @@ def optimize(
 
     def lm_step(carry, _):
         kf_R, kf_t, points, lam, prev_cost = carry
-        chi2, (ru, rv, rr), rows, Xc = chi2_of(kf_R, kf_t, points)
+        chi2, (ru, rv, extra), rows, Xc = chi2_of(kf_R, kf_t, points)
         w = prob.obs_inv_sigma2 * maskf
         # Depth-positivity gate, re-evaluated each linearization: a point
         # at/behind a camera's plane has a near-singular projection
@@ -289,8 +338,17 @@ def optimize(
         w = w * (Xc[:, 2] > 1e-2).astype(dtype)
         if use_huber:
             w = w * factors.huber_weight(chi2, th)
-        res_rows = [ru, rv] + ([rr] if has_stereo else [])
-        w_rows = [w, w] + ([w * stf] if has_stereo else [])
+        res_rows = [ru, rv] + extra
+        if has_stereo:
+            w_rows = [w, w, w * stf]
+        elif has_rcam:
+            # Right rows additionally gated on positive right-camera
+            # depth (same near-plane Jacobian-overflow guard as left).
+            zr = (jnp.einsum("j,kjm->km", R_rl[2], Xc)
+                  + t_rl[2] > 1e-2).astype(dtype)
+            w_rows = [w, w, w * rcf * zr, w * rcf * zr]
+        else:
+            w_rows = [w, w]
 
         # Per-row Jacobian planes. J3 spans all K rows (fixed anchors
         # constrain the points); J6 only the free block [:F].

@@ -26,6 +26,7 @@ from tpuslam.solver import factors
 
 CHI2_MONO = 5.991
 CHI2_STEREO = 7.815
+CHI2_RCAM = 9.488   # joint 4-dof gate for left+right paired observations
 
 
 class PoseOptResult(NamedTuple):
@@ -53,13 +54,24 @@ def optimize_pose(
     ur: Optional[jax.Array] = None,  # (N,) right-image u; < 0 = mono
     bf: float = 0.0,
     chi2_th_stereo: float = CHI2_STEREO,
+    uvr: Optional[jax.Array] = None,  # (N,2) fisheye right-cam pixel;
+                                      # < 0 = no right observation
+    cam_params_r=None,                # right intrinsics (fisheye rig)
+    R_rl=None,                        # rig: X_r = R_rl X_l + t_rl
+    t_rl=None,
+    chi2_th_rcam: float = CHI2_RCAM,
 ) -> PoseOptResult:
     dtype = R0.dtype
     has_stereo = ur is not None
+    has_rcam = uvr is not None
     if has_stereo:
         st = (ur > 0) & valid
         stf = st.astype(dtype)
         th = jnp.where(st, chi2_th_stereo, chi2_th)
+    elif has_rcam:
+        rc = (uvr[:, 0] >= 0) & valid
+        rcf = rc.astype(dtype)
+        th = jnp.where(rc, chi2_th_rcam, chi2_th)
     else:
         th = chi2_th
 
@@ -68,15 +80,25 @@ def optimize_pose(
         r = pred - uv
         c2 = jnp.sum(r * r, axis=-1)
         r3 = None
+        rr = None
         if has_stereo:
             z = jnp.maximum(Xc[..., 2], 1e-6)
             r3 = (pred[..., 0] - bf / z - ur) * stf
             c2 = c2 + r3 * r3
-        return r, r3, Xc, c2 * inv_sigma2
+        if has_rcam:
+            # Right-camera reprojection through the rig extrinsics
+            # (EdgeSE3ProjectXYZToBodyOnlyPose analog, /root/reference/
+            # include/OptimizableTypes.h:181).
+            from tpuslam.geometry import cameras
+            Xr = Xc @ R_rl.T + t_rl
+            pred_r = cameras.project(Xr, cam_params_r, model)
+            rr = (pred_r - uvr) * rcf[:, None]
+            c2 = c2 + jnp.sum(rr * rr, axis=-1)
+        return r, (r3, rr), Xc, c2 * inv_sigma2
 
     def gn_iter(carry, use_huber):
         R, t, inlier = carry
-        r, r3, Xc, c2 = chi2_of(R, t)
+        r, (r3, rr), Xc, c2 = chi2_of(R, t)
         w = inv_sigma2 * inlier.astype(dtype)
         # Depth-positivity gate (see local_ba.lm_step): at/behind-plane
         # points have near-singular Jacobians that overflow f32.
@@ -86,6 +108,19 @@ def optimize_pose(
         J_pose, _ = factors.reproj_jacobians(Xc, R, cam_params, model)
         H = jnp.einsum("nki,n,nkj->ij", J_pose, w, J_pose)
         b = -jnp.einsum("nki,n,nk->i", J_pose, w, r)
+        if has_rcam:
+            from tpuslam.geometry import cameras, lie
+            Xr = Xc @ R_rl.T + t_rl
+            A = cameras.project_jac(Xr, cam_params_r, model)  # (N,2,3)
+            B = jnp.einsum("nij,jk->nik", A, R_rl)
+            # dXc/d[omega, v] = [-hat(Xc) | I] (left-mult tangent).
+            T = jnp.concatenate(
+                [-jax.vmap(lie.hat)(Xc), jnp.broadcast_to(
+                    jnp.eye(3, dtype=dtype), Xc.shape[:1] + (3, 3))], -1)
+            Jr = jnp.einsum("nij,njk->nik", B, T)          # (N,2,6)
+            wr = w * rcf * (Xr[..., 2] > 1e-2).astype(dtype)
+            H = H + jnp.einsum("nki,n,nkj->ij", Jr, wr, Jr)
+            b = b - jnp.einsum("nki,n,nk->i", Jr, wr, rr)
         if has_stereo:
             # d(u - bf/z)/dxi = row_u + bf/z^2 * dz/dxi,
             # dz/d[omega, v] = [y, -x, 0, 0, 0, 1] (left-mult tangent).

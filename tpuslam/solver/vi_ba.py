@@ -39,6 +39,10 @@ from tpuslam.solver import factors
 
 CHI2_MONO = 5.991
 CHI2_STEREO = 7.815
+# Joint 4-dof gate for left+right paired fisheye observations (see
+# local_ba.CHI2_RCAM: the reference gates separate 2-dof edges at 5.991
+# each; the dense grid holds one chi2 per cell).
+CHI2_RCAM = 9.488
 # 9-dof inertial-edge Huber threshold (LocalInertialBA's
 # rki->setDelta(sqrt(16.92)), /root/reference/src/Optimizer.cc:574).
 CHI2_INERTIAL = 16.92
@@ -71,6 +75,12 @@ class VIWindow(NamedTuple):
     # row for those observations inside LocalInertialBA
     # (src/Optimizer.cc:4504 builds EdgeStereo alongside EdgeMono).
     obs_ur: Optional[jax.Array] = None  # (K,M)
+    # Fisheye (KB8) stereo-inertial: observed right-camera pixel per
+    # observation (<0 = no right match). Present => two right-camera
+    # reprojection rows through the rig extrinsics join the window
+    # (the EdgeSE3ProjectXYZToBody role inside LocalInertialBA for
+    # non-rectified rigs, /root/reference/src/Optimizer.cc:4571).
+    obs_uvr: Optional[jax.Array] = None  # (K,M,2)
 
 
 class VIResult(NamedTuple):
@@ -155,6 +165,10 @@ def optimize_vi(
     vis_weight: float = 1.0,
     bf: float = 0.0,
     chi2_th_stereo: float = CHI2_STEREO,
+    cam_params_r=None,     # right-camera intrinsics (fisheye rigs)
+    R_rl=None,             # rig extrinsics: X_r = R_rl X_l + t_rl
+    t_rl=None,
+    chi2_th_rcam: float = CHI2_RCAM,
 ) -> VIResult:
     """Sliding-window VI bundle adjustment (LocalInertialBA analog).
 
@@ -176,10 +190,16 @@ def optimize_vi(
     # the mono path stays BIT-IDENTICAL to the pre-stereo formulation:
     # blackout-recovery trajectories are chaotic enough that a different
     # einsum contraction order flips e2e gates (measured r04).
+    has_rcam = win.obs_uvr is not None
+    assert not (has_stereo and has_rcam)
     if has_stereo:
         st = mask & (win.obs_ur > 0)
         stf = st.astype(dtype)
         th = jnp.where(st, chi2_th_stereo, chi2_th)
+    elif has_rcam:
+        rc = mask & (win.obs_uvr[..., 0] >= 0)
+        rcf = rc.astype(dtype)
+        th = jnp.where(rc, chi2_th_rcam, chi2_th)
     else:
         th = chi2_th
 
@@ -197,6 +217,11 @@ def optimize_vi(
             z = jnp.maximum(Xc[..., 2], 1e-6)
             r3 = (pred[..., 0] - bf / z - win.obs_ur) * stf
             r = jnp.concatenate([r, r3[..., None]], axis=-1)
+        if has_rcam:
+            Xr = jnp.einsum("ij,kmj->kmi", R_rl, Xc) + t_rl
+            pred_r = cameras.project(Xr, cam_params_r, model)
+            rr = (pred_r - win.obs_uvr) * rcf[..., None]
+            r = jnp.concatenate([r, rr], axis=-1)
         chi2 = jnp.sum(r * r, axis=-1) * win.obs_inv_sigma2
         return r, Xc, R_cw, chi2
 
@@ -216,6 +241,14 @@ def optimize_vi(
             e3 = jnp.zeros_like(Jproj[..., 0, :]).at[..., 2].set(1.0)
             Jr3 = Jproj[..., 0, :] + zi2 * e3
             Jproj = jnp.concatenate([Jproj, Jr3[..., None, :]], axis=-2)
+        if has_rcam:
+            # Rows 3-4: right-camera projection through the rig;
+            # d r_r / d Xc = J_proj(X_r) @ R_rl (chain rule through the
+            # constant extrinsics).
+            Xr = jnp.einsum("ij,kmj->kmi", R_rl, Xc) + t_rl
+            Jr = cameras.project_jac(Xr, cam_params_r, model)   # (K,M,2,3)
+            Jr = jnp.einsum("kmri,ij->kmrj", Jr, R_rl)
+            Jproj = jnp.concatenate([Jproj, Jr], axis=-2)
         pm = points[None, :, :] - pwb[:, None, :]               # (K,M,3)
         y = jnp.einsum("kji,kmj->kmi", Rwb, pm)
         Jth = jnp.einsum("ij,kmjl->kmil", win.Rcb, lie.hat(y))  # (K,M,3,3)
@@ -225,11 +258,18 @@ def optimize_vi(
         J_pt = jnp.einsum("kmri,kij->kmrj", Jproj, R_cw)        # (K,M,R,3)
         return J_pose, J_pt
 
-    def row_weights(w):
+    def row_weights(w, Xc=None):
         """Per-row observation weights (K,M,R): rows u,v get w; the
-        stereo row gets w masked to stereo observations."""
+        stereo row gets w masked to stereo observations; right-camera
+        rows get w masked to right-matched cells with positive
+        right-camera depth (near-plane Jacobian guard)."""
         if has_stereo:
             return jnp.stack([w, w, w * stf], axis=-1)
+        if has_rcam:
+            zr = (jnp.einsum("j,kmj->km", R_rl[2], Xc)
+                  + t_rl[2] > 1e-2).astype(dtype)
+            wrr = w * rcf * zr
+            return jnp.stack([w, w, wrr, wrr], axis=-1)
         return jnp.broadcast_to(w[..., None], w.shape + (2,))
 
     def masked_cost(Rwb, pwb, vel, bg, ba, points):
@@ -263,8 +303,8 @@ def optimize_vi(
         w = w * factors.huber_weight(chi2, th)
         J_pose, J_pt = vis_jacobians(Xc, Rwb, pwb, points, R_cw)
 
-        if has_stereo:
-            wr = row_weights(w)                                   # (K,M,R)
+        if has_stereo or has_rcam:
+            wr = row_weights(w, Xc)                               # (K,M,R)
             U6 = jnp.einsum("kmri,kmr,kmrj->kij", J_pose, wr, J_pose)
             V = jnp.einsum("kmri,kmr,kmrj->mij", J_pt, wr, J_pt)
             Wb = jnp.einsum("kmri,kmr,kmrj->kmij", J_pose, wr, J_pt)
@@ -644,18 +684,29 @@ def optimize_pose_vi(
     ur: Optional[jax.Array] = None,  # (N,) right-image u; <0 = mono
     bf: float = 0.0,
     chi2_th_stereo: float = CHI2_STEREO,
+    uvr: Optional[jax.Array] = None,  # (N,2) fisheye right-cam pixel
+    cam_params_r=None,
+    R_rl=None,
+    t_rl=None,
+    chi2_th_rcam: float = CHI2_RCAM,
 ) -> PoseVIResult:
     """Ref: PoseInertialOptimizationLastKeyFrame (Optimizer.cc:7608):
     frame 15-dof state vs fixed last-keyframe state; visual reprojection
     (+ the stereo row for observations with ur > 0 —
-    EdgeStereoOnlyPose, Optimizer.cc:7790) + one inertial edge + bias
-    random walk; chi2-gated rounds."""
+    EdgeStereoOnlyPose, Optimizer.cc:7790; or right-camera rows through
+    the rig for fisheye observations with uvr >= 0) + one inertial edge
+    + bias random walk; chi2-gated rounds."""
     dtype = Rwb0.dtype
     has_stereo = ur is not None
+    has_rcam = uvr is not None
     if has_stereo:
         st = (ur > 0) & valid
         stf = st.astype(dtype)
         th = jnp.where(st, chi2_th_stereo, chi2_th)
+    elif has_rcam:
+        rc = (uvr[:, 0] >= 0) & valid
+        rcf = rc.astype(dtype)
+        th = jnp.where(rc, chi2_th_rcam, chi2_th)
     else:
         th = chi2_th
 
@@ -666,14 +717,20 @@ def optimize_pose_vi(
         r = pred - uv
         c2 = jnp.sum(r * r, axis=-1)
         r3 = None
+        rr = None
         if has_stereo:
             z = jnp.maximum(Xc[..., 2], 1e-6)
             r3 = (pred[..., 0] - bf / z - ur) * stf
             c2 = c2 + r3 * r3
-        return r, r3, Xc, R_cw, c2 * inv_sigma2
+        if has_rcam:
+            Xr = Xc @ R_rl.T + t_rl
+            pred_r = cameras.project(Xr, cam_params_r, model)
+            rr = (pred_r - uvr) * rcf[:, None]
+            c2 = c2 + jnp.sum(rr * rr, axis=-1)
+        return r, (r3, rr), Xc, R_cw, c2 * inv_sigma2
 
     def build_Hb(Rwb, pwb, vel, bg, ba, inlier, use_huber):
-        r, r3, Xc, R_cw, chi2 = vis_chi2(Rwb, pwb)
+        r, (r3, rr), Xc, R_cw, chi2 = vis_chi2(Rwb, pwb)
         w = inv_sigma2 * inlier.astype(dtype)
         # Depth-positivity gate (see local_ba.lm_step).
         w = w * (Xc[..., 2] > 1e-2).astype(dtype)
@@ -699,6 +756,16 @@ def optimize_pose_vi(
             w3 = w * stf
             H = H.at[:6, :6].add(jnp.einsum("ni,n,nj->ij", J3, w3, J3))
             b = b.at[:6].add(-jnp.einsum("ni,n,n->i", J3, w3, r3))
+        if has_rcam:
+            # Right-camera rows: J_proj(X_r) @ R_rl @ JXc.
+            Xr = Xc @ R_rl.T + t_rl
+            Jr = cameras.project_jac(Xr, cam_params_r, model)  # (N,2,3)
+            Jr = jnp.einsum("nri,ij->nrj", Jr, R_rl)
+            Jvr = jnp.einsum("nri,nij->nrj", Jr, JXc)          # (N,2,6)
+            wrr = w * rcf * (Xr[..., 2] > 1e-2).astype(dtype)
+            H = H.at[:6, :6].add(
+                jnp.einsum("nri,n,nrj->ij", Jvr, wrr, Jvr))
+            b = b.at[:6].add(-jnp.einsum("nri,n,nr->i", Jvr, wrr, rr))
 
         # Inertial edge (KF fixed): AD wrt the frame tangent.
         def f(d):
@@ -783,6 +850,11 @@ def optimize_pose_vi_prior(
     ur: Optional[jax.Array] = None,  # (N,) right-image u; <0 = mono
     bf: float = 0.0,
     chi2_th_stereo: float = CHI2_STEREO,
+    uvr: Optional[jax.Array] = None,  # (N,2) fisheye right-cam pixel
+    cam_params_r=None,
+    R_rl=None,
+    t_rl=None,
+    chi2_th_rcam: float = CHI2_RCAM,
 ) -> PoseVIPriorResult:
     """Ref: PoseInertialOptimizationLastFrame (Optimizer.cc:8009): joint
     30-dof problem over (previous frame, current frame) — visual
@@ -795,10 +867,15 @@ def optimize_pose_vi_prior(
     dtype = Rwb0.dtype
     D2 = 2 * DOF
     has_stereo = ur is not None
+    has_rcam = uvr is not None
     if has_stereo:
         st = (ur > 0) & valid
         stf = st.astype(dtype)
         th = jnp.where(st, chi2_th_stereo, chi2_th)
+    elif has_rcam:
+        rc = (uvr[:, 0] >= 0) & valid
+        rcf = rc.astype(dtype)
+        th = jnp.where(rc, chi2_th_rcam, chi2_th)
     else:
         th = chi2_th
     # Prior linearization anchor = incoming previous state.
@@ -811,11 +888,17 @@ def optimize_pose_vi_prior(
         r = pred - uv
         c2 = jnp.sum(r * r, axis=-1)
         r3 = None
+        rr = None
         if has_stereo:
             z = jnp.maximum(Xc[..., 2], 1e-6)
             r3 = (pred[..., 0] - bf / z - ur) * stf
             c2 = c2 + r3 * r3
-        return r, r3, Xc, R_cw, c2 * inv_sigma2
+        if has_rcam:
+            Xr = Xc @ R_rl.T + t_rl
+            pred_r = cameras.project(Xr, cam_params_r, model)
+            rr = (pred_r - uvr) * rcf[:, None]
+            c2 = c2 + jnp.sum(rr * rr, axis=-1)
+        return r, (r3, rr), Xc, R_cw, c2 * inv_sigma2
 
     def prior_tangent(Rwb, pwb, vel, bg, ba):
         """Tangent of the prev state wrt the prior anchor (matches
@@ -830,7 +913,7 @@ def optimize_pose_vi_prior(
         b = jnp.zeros((D2,), dtype)
 
         # Visual terms on the current pose (rows 15:21 of the tangent).
-        r, r3, Xc, R_cw, chi2 = vis_chi2(Rwb, pwb)
+        r, (r3, rr), Xc, R_cw, chi2 = vis_chi2(Rwb, pwb)
         w = inv_sigma2 * inlier.astype(dtype)
         # Depth-positivity gate (see local_ba.lm_step).
         w = w * (Xc[..., 2] > 1e-2).astype(dtype)
@@ -853,6 +936,16 @@ def optimize_pose_vi_prior(
                 jnp.einsum("ni,n,nj->ij", J3, w3, J3))
             b = b.at[DOF:DOF + 6].add(
                 -jnp.einsum("ni,n,n->i", J3, w3, r3))
+        if has_rcam:
+            Xr = Xc @ R_rl.T + t_rl
+            Jr = cameras.project_jac(Xr, cam_params_r, model)
+            Jr = jnp.einsum("nri,ij->nrj", Jr, R_rl)
+            Jvr = jnp.einsum("nri,nij->nrj", Jr, JXc)
+            wrr = w * rcf * (Xr[..., 2] > 1e-2).astype(dtype)
+            H = H.at[DOF:DOF + 6, DOF:DOF + 6].add(
+                jnp.einsum("nri,n,nrj->ij", Jvr, wrr, Jvr))
+            b = b.at[DOF:DOF + 6].add(
+                -jnp.einsum("nri,n,nr->i", Jvr, wrr, rr))
 
         # Inertial edge between the two frames (AD over both tangents).
         def f(dp, dc):

@@ -119,6 +119,16 @@ class System:
         self.tracker = MonoTracker(cfg)
         self.timestamps = []
 
+    def change_dataset(self):
+        """Multi-sequence sessions (System::ChangeDataset, called between
+        sequences by the example mains, e.g.
+        /root/reference/Examples/Monocular/mono_euroc.cc:139): archive
+        the active map into the Atlas and start a fresh one; later place
+        recognition may weld the sessions back together (the multi-
+        session EuRoC experiments)."""
+        self.tracker.flush()
+        self.tracker._new_map_in_atlas()
+
     def shutdown(self):
         self.tracker.flush()
         self._shutdown = True
@@ -256,6 +266,9 @@ class System:
         if "kf_ur" not in fields:  # checkpoints from before stereo obs
             fields["kf_ur"] = jnp.full(fields["kf_level"].shape, -1.0,
                                        jnp.float32)
+        if "kf_uvr" not in fields:  # pre right-camera (fisheye) obs
+            fields["kf_uvr"] = jnp.full(
+                fields["kf_level"].shape + (2,), -1.0, jnp.float32)
         tr.ms = mapstate.MapState(**fields)
         tr._invalidate_kf_set()
         tr.n_kf = int(data["n_kf"])

@@ -80,9 +80,7 @@ def _reconstruct(b1, b2, valid, key, focal: float):
     return two_view.reconstruct(b1, b2, valid, key, focal=focal)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "model", "radius1", "radius2", "sched", "level_widen"))
-def _track_pose(
+def _track_pose_impl(
     R0, t0,
     mp_ids,          # (P,) int32 local map point ids (-1 pad)
     mp_pos,          # (P,3) gathered positions
@@ -104,6 +102,8 @@ def _track_pose(
     level_widen: bool = False,
     feats_ur=None,   # (N,) frame right-image u (<0 = mono keypoint)
     bf: float = 0.0,
+    feats_uvr=None,  # (N,2) fisheye right-cam pixel (<0 = unmatched)
+    rig=(None, None, None),   # (cam_params_r, R_rl, t_rl)
 ):
     """Two guided-match + pose-GN rounds against the local map.
 
@@ -176,6 +176,12 @@ def _track_pose(
             ur=(jnp.where(matched, feats_ur[kp], -1.0)
                 if feats_ur is not None else None),
             bf=bf,
+            # Fisheye rigs: right-camera reprojection rows through the
+            # rig extrinsics (EdgeSE3ProjectXYZToBodyOnlyPose) — the
+            # per-frame metric anchor of non-rectified stereo.
+            uvr=(jnp.where(matched[:, None], feats_uvr[kp], -1.0)
+                 if feats_uvr is not None else None),
+            cam_params_r=rig[0], R_rl=rig[1], t_rl=rig[2],
         )
         return opt, res, visible
 
@@ -214,6 +220,52 @@ def _track_pose(
     visible_ids = jnp.where(visible, mp_ids, -1)
     found_ids = jnp.where(good, mp_ids, -1)
     return opt2.R, opt2.t, assoc, opt2.n_inliers, visible_ids, found_ids
+
+
+_track_pose = functools.partial(jax.jit, static_argnames=(
+    "model", "radius1", "radius2", "sched", "level_widen"))(
+        _track_pose_impl)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "model", "radius1", "radius2", "sched", "level_widen"))
+def _track_frame_fused(
+    ms: "mapstate.MapState", mp_ids, R0, t0,
+    feats: FrameFeatures, cam_params, scale_lut, inv_sigma2_lut,
+    img_wh, min_ok,
+    model: str = "pinhole",
+    radius1: float = 15.0,
+    radius2: float = 4.0,
+    sched: tuple = ((2, 3), (2, 4)),
+    level_widen: bool = False,
+    feats_ur=None, bf: float = 0.0,
+    feats_uvr=None, rig=(None, None, None),
+):
+    """ONE dispatch for the per-frame hot path: local-map gather +
+    guided tracking (+ the conditional visible/found stat bump that
+    used to be a separate update_point_stats dispatch). Through a
+    network-attached device every eager op outside jit is its own
+    ~30 ms round trip; the gathers alone were 8 of them (measured in
+    the r04 e2e wall-clock loop)."""
+    cap = ms.mp_capacity
+    safe = jnp.clip(mp_ids, 0, cap - 1)
+    mp_ok = (mp_ids >= 0) & ms.mp_valid[safe]
+    R, t, assoc, n_inl, visible_ids, found_ids = _track_pose_impl(
+        R0, t0, mp_ids, ms.mp_pos[safe], ms.mp_desc[safe],
+        ms.mp_level[safe], mp_ok, ms.mp_normal[safe],
+        ms.mp_dist_min[safe], ms.mp_dist_max[safe],
+        feats, cam_params, scale_lut, inv_sigma2_lut, img_wh,
+        model=model, radius1=radius1, radius2=radius2, sched=sched,
+        level_widen=level_widen, feats_ur=feats_ur, bf=bf,
+        feats_uvr=feats_uvr, rig=rig)
+    # Stats bump only when the frame LOCKS (see _track: blank frames
+    # must not decay found/visible for every predicted-visible point).
+    apply = n_inl >= min_ok
+    vis_tgt = jnp.where(apply & (visible_ids >= 0), visible_ids, cap)
+    fnd_tgt = jnp.where(apply & (found_ids >= 0), found_ids, cap)
+    new_vis = ms.mp_visible.at[vis_tgt].add(1, mode="drop")
+    new_fnd = ms.mp_found.at[fnd_tgt].add(1, mode="drop")
+    return R, t, assoc, n_inl, visible_ids, found_ids, new_vis, new_fnd
 
 
 @jax.jit
@@ -454,19 +506,27 @@ def _fuse_into_kf(
 
 @functools.partial(jax.jit,
                    static_argnames=("iters", "model", "stereo", "n_free",
-                                    "trust_region"))
+                                    "trust_region", "fisheye"))
 def _run_local_ba(ms: mapstate.MapState, kf_ids, fixed, mp_ids,
                   local_of_global, inv_sigma2_lut, cam_params,
                   iters: int = 10, model: str = "pinhole",
                   stereo: bool = False, bf=0.0, n_free: int = None,
-                  trust_region: bool = True):
+                  trust_region: bool = True,
+                  fisheye: bool = False, rig=None):
+    """`fisheye`+`rig`=(cam_params_r, R_rl, t_rl): right-camera
+    reprojection rows through the rig extrinsics for non-rectified
+    stereo (EdgeSE3ProjectXYZToBody,
+    /root/reference/include/OptimizableTypes.h:117)."""
     prob = mapstate.build_ba_problem(
         ms, kf_ids, fixed, mp_ids, local_of_global, inv_sigma2_lut,
-        stereo=stereo,
+        stereo=stereo, fisheye=fisheye,
     )
+    rig = rig if fisheye else (None, None, None)
     res = local_ba.optimize(prob, cam_params, iters=iters, model=model,
                             bf=bf, n_free=n_free,
-                            trust_region=trust_region)
+                            trust_region=trust_region,
+                            cam_params_r=rig[0], R_rl=rig[1],
+                            t_rl=rig[2])
     # Keep points with at least one inlier observation in the window.
     observed = jnp.any(prob.obs_mask, axis=0)
     pt_keep = jnp.any(res.inlier, axis=0) | ~observed
@@ -614,7 +674,15 @@ class MonoTracker:
                 else (0.0, float(cam.width - 1))
             self.lapping_l = jnp.asarray(lap_l, jnp.float32)
             self.lapping_r = jnp.asarray(lap_r, jnp.float32)
+            # Inverse rig transform for the right-camera reprojection
+            # rows in BA: X_r = R_rl X_l + t_rl.
+            R_rl = Tlr[:3, :3].T
+            self._rig = (self.cam_params_r, jnp.asarray(R_rl),
+                         jnp.asarray(-R_rl @ Tlr[:3, 3]))
+        else:
+            self._rig = None
         self._cur_stereo_xc = None
+        self._cur_stereo_uvr = None
         from tpuslam.mapping.atlas import Atlas
         from tpuslam.utils.profiling import StageTimer
 
@@ -732,7 +800,8 @@ class MonoTracker:
                     # per-pair triangulation (ComputeStereoFishEyeMatches
                     # + TriangulateMatches, ref Frame.cc:1228).
                     from tpuslam.frontend import stereo_fisheye
-                    self._cur_stereo, self._cur_stereo_xc = \
+                    self._cur_stereo, self._cur_stereo_xc, \
+                        self._cur_stereo_uvr = \
                         stereo_fisheye.match_stereo_fisheye(
                             feats, feats_r, self.cam_params,
                             self.cam_params_r, self.R_lr, self.t_lr,
@@ -1456,6 +1525,7 @@ class MonoTracker:
                 stereo=self._ba_stereo,
                 bf=jnp.float32(self.cfg.camera.bf),
                 n_free=self.cfg.map.local_window,
+                fisheye=self._fisheye_stereo, rig=self._rig,
             )
         self.last_R = np.asarray(self.ms.kf_R[cur_slot])
         self.last_t = np.asarray(self.ms.kf_t[cur_slot])
@@ -2005,7 +2075,8 @@ class MonoTracker:
             self.ms, kf_ids_j, cap=pt_cap)
         prob = mapstate.build_ba_problem(
             self.ms, kf_ids_j, jnp.zeros((K,), bool), mp_ids, local,
-            self.inv_sigma2_lut, stereo=self._ba_stereo)
+            self.inv_sigma2_lut, stereo=self._ba_stereo,
+            fisheye=self._fisheye_stereo)
 
         # Body states from the map (through Tbc).
         Rcb_j = jnp.asarray(self.Rcb)
@@ -2040,11 +2111,14 @@ class MonoTracker:
             Rcb=Rcb_j,
             tcb=tcb_j,
             obs_ur=prob.obs_ur,
+            obs_uvr=prob.obs_uvr,
         )
+        rig_kw = ({"cam_params_r": self._rig[0], "R_rl": self._rig[1],
+                   "t_rl": self._rig[2]} if self._fisheye_stereo else {})
         res = vi_ba.optimize_vi(
             win, self.cam_params, self.gravity_w,
             self.walk_info, iters=iters, model=self.model,
-            bf=jnp.float32(self.cfg.camera.bf))
+            bf=jnp.float32(self.cfg.camera.bf), **rig_kw)
 
         # Write back: poses (Tcw from body), points, bias/velocities.
         R_cw = jnp.einsum("ij,kaj->kia", Rcb_j, res.Rwb)
@@ -2099,6 +2173,12 @@ class MonoTracker:
         if self._ba_stereo and self._cur_stereo is not None:
             stereo_kw = dict(ur=self._cur_stereo.u_right,
                              bf=jnp.float32(self.cfg.camera.bf))
+        elif self._fisheye_stereo and self._cur_stereo_uvr is not None:
+            # Fisheye stereo-inertial: right-camera rows through the rig
+            # (the EdgeSE3ProjectXYZToBody role in the VI pose problems).
+            stereo_kw = dict(uvr=self._cur_stereo_uvr,
+                             cam_params_r=self._rig[0],
+                             R_rl=self._rig[1], t_rl=self._rig[2])
 
         use_last_kf = (self._map_updated or self.prior_H is None
                        or self.body_state is None)
@@ -2177,21 +2257,23 @@ class MonoTracker:
             self._vel_pred = None
 
         kf_ids, _, mp_ids, _ = self._window()
-        safe = jnp.clip(mp_ids, 0, self.ms.mp_capacity - 1)
-        mp_ok = (mp_ids >= 0) & self.ms.mp_valid[safe]
         # Inertial mode keeps the longer GN schedule: pose accuracy
         # feeds the preintegration chain and the init's scale estimate.
         sched = (((2, 5), (3, 5)) if self._use_imu
                  else ((2, 3), (2, 4)))
+        # Re-entry needs a SOLID lock (reference: >=15 VIO inliers,
+        # src/Tracking.cc:3113) — accepting a marginal fit here poisons
+        # the velocity/prior chain and the next dead-reckoning diverges
+        # (measured: a 15-inlier re-entry at 48 px radius sent |vel|
+        # 1.7 -> 7 m/s over the following grace period).
+        min_ok = max(tcfg.min_inliers_track, 15) if reentry \
+            else tcfg.min_inliers_track
         with self.timer.stage("local_map_track"):
-            R, t, assoc, n_inl, visible_ids, found_ids = _track_pose(
-                R_pred, t_pred,
-                mp_ids, self.ms.mp_pos[safe], self.ms.mp_desc[safe],
-                self.ms.mp_level[safe], mp_ok,
-                self.ms.mp_normal[safe], self.ms.mp_dist_min[safe],
-                self.ms.mp_dist_max[safe],
+            (R, t, assoc, n_inl, visible_ids, found_ids,
+             new_vis, new_fnd) = _track_frame_fused(
+                self.ms, mp_ids, R_pred, t_pred,
                 feats, self.cam_params, self.scale_lut, self.inv_sigma2_lut,
-                self.img_wh, sched=sched,
+                self.img_wh, jnp.int32(min_ok), sched=sched,
                 # Dead-reckoned re-entry keeps the NORMAL window: wide
                 # windows false-lock under GN (alias-consistent fits);
                 # large prediction drift is _reenter_local_pnp's job
@@ -2208,6 +2290,13 @@ class MonoTracker:
                               and self._cur_stereo is not None)
                           else None),
                 bf=jnp.float32(self.cfg.camera.bf),
+                feats_uvr=(self._cur_stereo_uvr
+                           if (self._fisheye_stereo
+                               and self._cur_stereo_uvr is not None)
+                           else None),
+                rig=(self._rig if (self._fisheye_stereo
+                                   and self._cur_stereo_uvr is not None)
+                     else (None, None, None)),
             )
             # ONE batched host fetch for everything the host-side frame
             # logic needs (each separate int()/asarray is a full tunnel
@@ -2221,21 +2310,16 @@ class MonoTracker:
                   f"|pred-fit|={np.linalg.norm(c_pred - c_fit):.3f} "
                   f"nvis={int(jnp.sum(visible_ids >= 0))} "
                   f"nfound={int(jnp.sum(found_ids >= 0))}", flush=True)
-        # Re-entry needs a SOLID lock (reference: >=15 VIO inliers,
-        # src/Tracking.cc:3113) — accepting a marginal fit here poisons
-        # the velocity/prior chain and the next dead-reckoning diverges
-        # (measured: a 15-inlier re-entry at 48 px radius sent |vel|
-        # 1.7 -> 7 m/s over the following grace period).
-        min_ok = max(tcfg.min_inliers_track, 15) if reentry \
-            else tcfg.min_inliers_track
-        if n_inl >= min_ok and not self.frozen:
-            # Stats only for frames that actually lock: blank/lost
-            # frames would otherwise decay found/visible for every
-            # predicted-visible point and the next culling pass
-            # massacres a perfectly good map (measured on the blackout
-            # fixture: 550 visible x 10 blank frames).
-            self.ms = mapstate.update_point_stats(self.ms, visible_ids,
-                                                  found_ids)
+        if not self.frozen:
+            # Stats were bumped INSIDE the fused step, gated on the
+            # frame locking (n_inl >= min_ok): blank/lost frames must
+            # not decay found/visible for every predicted-visible point
+            # or the next culling pass massacres a perfectly good map
+            # (measured on the blackout fixture: 550 visible x 10 blank
+            # frames). Adopting them here is a pytree rebind, not a
+            # device dispatch.
+            self.ms = self.ms._replace(mp_visible=new_vis,
+                                       mp_found=new_fnd)
         if n_inl < min_ok:
             if self._use_imu:
                 self.prior_H = None     # the marginal chain is broken
@@ -2327,7 +2411,8 @@ class MonoTracker:
         local device. No keyframe is ever beyond the horizon (round-3
         verdict: the old 256-KF cap left old map segments merely
         pose-graph-corrected, never BA'd)."""
-        live = [s for s in self.kf_slots if bool(self.ms.kf_valid[s])]
+        kf_valid = np.asarray(self.ms.kf_valid)   # ONE fetch, not per-slot
+        live = [s for s in self.kf_slots if kf_valid[s]]
         if len(live) > self.GBA_WINDOW:
             self._run_global_ba_sharded(live, iters)
             return
@@ -2351,7 +2436,8 @@ class MonoTracker:
             self.ms, kf_ids_j, jnp.asarray(fixed), mp_ids, local,
             self.inv_sigma2_lut, self.cam_params, iters=iters,
             model=self.model, stereo=self._ba_stereo,
-            bf=jnp.float32(self.cfg.camera.bf), n_free=W - 2)
+            bf=jnp.float32(self.cfg.camera.bf), n_free=W - 2,
+            fisheye=self._fisheye_stereo, rig=self._rig)
         self._invalidate_window()
 
     def _run_global_ba_sharded(self, slots, iters: int):
@@ -2388,7 +2474,10 @@ class MonoTracker:
             self.ms, kf_ids_j, cap=cap)
         prob = mapstate.build_ba_problem(
             self.ms, kf_ids_j, jnp.asarray(fixed), mp_ids, local,
-            self.inv_sigma2_lut, stereo=self._ba_stereo)
+            self.inv_sigma2_lut, stereo=self._ba_stereo,
+            fisheye=self._fisheye_stereo)
+        rig_kw = ({"cam_params_r": self._rig[0], "R_rl": self._rig[1],
+                   "t_rl": self._rig[2]} if self._fisheye_stereo else {})
         devs = jax.devices()
         d = 1
         while d * 2 <= len(devs) and cap % (d * 2) == 0:
@@ -2397,7 +2486,8 @@ class MonoTracker:
             mesh = Mesh(np.asarray(devs[:d]), (dist_ba.AXIS,))
             res = dist_ba.distributed_optimize(
                 prob, self.cam_params, mesh, iters=iters,
-                model=self.model, bf=jnp.float32(self.cfg.camera.bf))
+                model=self.model, bf=jnp.float32(self.cfg.camera.bf),
+                **rig_kw)
             keep = (jnp.any(res.inlier, axis=0)
                     | ~jnp.any(prob.obs_mask, axis=0))
             self.ms = mapstate.scatter_ba_result(
@@ -2523,8 +2613,10 @@ class MonoTracker:
             if (self._use_depth
                     and self._cur_stereo is not None):
                 kf_ur = self._cur_stereo.u_right
+            kf_uvr = (self._cur_stereo_uvr
+                      if self._fisheye_stereo else None)
             self.ms = mapstate.add_keyframe(self.ms, slot, R, t, feats,
-                                            assoc, ur=kf_ur)
+                                            assoc, ur=kf_ur, uvr=kf_uvr)
         self.kf_slots.append(slot)
         self.kf_ts[slot] = self.last_ts
         self._invalidate_kf_set()
@@ -2614,6 +2706,7 @@ class MonoTracker:
                     bf=jnp.float32(self.cfg.camera.bf),
                     n_free=self.cfg.map.local_window,
                     trust_region=self.cfg.solver.ba_warm_trust_region,
+                    fisheye=self._fisheye_stereo, rig=self._rig,
                 )
         self._invalidate_window()   # BA re-gates point validity
         # Map-point hygiene over the refined window: distinctive
