@@ -70,9 +70,14 @@ def test_tracker_records_stage_times():
     for R, t in poses:
         tr.process(synthetic.render(world, R, t))
     rep = tr.timer.report()
-    assert rep["orb_extraction"]["calls"] == len(poses)
+    # Pre-init frames run the sync path (orb_extraction stage); once OK
+    # the pipelined path takes over (frame_dispatch + retire_fetch per
+    # frame, the whole frame fused into one dispatch).
+    n_ext = rep.get("orb_extraction", {}).get("calls", 0)
+    n_pipe = rep.get("frame_dispatch", {}).get("calls", 0)
+    assert n_ext + n_pipe == len(poses)
     if tr.state == "OK":
-        assert "local_map_track" in rep
+        assert "retire_fetch" in rep or "local_map_track" in rep
 
 
 def test_timestamp_jump_guards():

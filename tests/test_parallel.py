@@ -120,6 +120,107 @@ def test_distributed_two_axis_mesh(rng):
         0.05 * float(res_local.total_chi2) + 10.0
 
 
+def test_distributed_vi_matches_local(rng, mesh):
+    """Landmark-sharded visual-inertial BA (the distributed
+    FullInertialBA engine, ref /root/reference/src/Optimizer.cc:420)
+    matches the single-device optimize_vi on the 8-device CPU mesh —
+    VERDICT r04 task 3."""
+    from tpuslam.datasets import synthetic
+    from tpuslam.geometry import lie
+    from tpuslam.imu import preintegration as pre
+    from tpuslam.solver import vi_ba
+
+    G = 9.81
+    FREQ = 200.0
+    NGA, WALK = pre.discrete_noise(1.7e-4, 2.0e-3, 1.9e-5, 3.0e-3, FREQ)
+    walk_info = jnp.full((6,), 1.0 / 1e-3, jnp.float32)
+    sim = synthetic.simulate_imu(21, fps=20.0, imu_freq=FREQ,
+                                 bias_gyro=(0.003, -0.002, 0.004))
+    step = 5
+    kf_frames = list(range(0, 21, step))
+    K = len(kf_frames)
+    Rwb = np.stack([sim["Rwb"][f] for f in kf_frames])
+    pwb = np.stack([sim["pwb"][f] for f in kf_frames])
+    vel = np.stack([sim["vel"][f] for f in kf_frames])
+    M = 512
+    X = rng.uniform([-4, -4, -2], [4, 4, 2], size=(M, 3)).astype(np.float32)
+    obs_uv = np.zeros((K, M, 2), np.float32)
+    obs_mask = np.zeros((K, M), bool)
+    for k in range(K):
+        Rcw = Rwb[k].T
+        Xc = X @ Rcw.T + (-Rcw @ pwb[k])
+        z = np.maximum(Xc[:, 2], 1e-6)
+        uv = np.stack([450 * Xc[:, 0] / z + 320,
+                       450 * Xc[:, 1] / z + 240], 1)
+        obs_uv[k] = uv + rng.normal(0, 0.3, uv.shape)
+        obs_mask[k] = (Xc[:, 2] > 0.5) & (np.abs(uv[:, 0] - 320) < 400) \
+            & (np.abs(uv[:, 1] - 240) < 300)
+
+    def preint_between(f0, f1):
+        acc = sim["imu_acc"][f0:f1].reshape(-1, 3)
+        gyr = sim["imu_gyro"][f0:f1].reshape(-1, 3)
+        n = acc.shape[0]
+        return pre.integrate(
+            pre.init_state(), jnp.asarray(acc), jnp.asarray(gyr),
+            jnp.full((n,), sim["imu_dt"], jnp.float32),
+            jnp.ones((n,), bool), NGA, WALK)
+
+    preints = [preint_between(kf_frames[i], kf_frames[i + 1])
+               for i in range(K - 1)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *preints)
+    Rp, pp, vp = Rwb.copy(), pwb.copy(), vel.copy()
+    for k in range(1, K):
+        dR = np.asarray(lie.so3_exp(jnp.asarray(
+            rng.normal(size=3) * 0.01, jnp.float32)))
+        Rp[k] = Rp[k] @ dR
+        pp[k] = pp[k] + rng.normal(size=3).astype(np.float32) * 0.05
+        vp[k] = vp[k] + rng.normal(size=3).astype(np.float32) * 0.1
+    fixed = np.zeros(K, bool)
+    fixed[0] = True
+    bg0 = np.tile(np.array([0.003, -0.002, 0.004], np.float32), (K, 1))
+    win = vi_ba.VIWindow(
+        Rwb=jnp.asarray(Rp), pwb=jnp.asarray(pp), vel=jnp.asarray(vp),
+        bg=jnp.asarray(bg0), ba=jnp.zeros((K, 3), jnp.float32),
+        fixed=jnp.asarray(fixed),
+        points=jnp.asarray(X + rng.normal(0, 0.03, X.shape)
+                           .astype(np.float32)),
+        pt_valid=jnp.ones((M,), bool),
+        obs_uv=jnp.asarray(obs_uv), obs_mask=jnp.asarray(obs_mask),
+        obs_inv_sigma2=jnp.ones((K, M), jnp.float32),
+        preint=stacked, edge_valid=jnp.ones((K - 1,), bool),
+        Rcb=jnp.eye(3, dtype=jnp.float32), tcb=jnp.zeros(3, jnp.float32),
+    )
+    gravity = jnp.asarray([0, 0, -G], jnp.float32)
+    res_local = vi_ba.optimize_vi(win, CAM, gravity, walk_info, iters=10)
+
+    specs = dist_ba.vi_window_specs(win)
+    win_sharded = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), win, specs)
+    res_dist = dist_ba.distributed_optimize_vi(
+        win_sharded, CAM, gravity, walk_info, mesh, iters=10)
+
+    np.testing.assert_allclose(res_dist.pwb, res_local.pwb, atol=2e-3)
+    np.testing.assert_allclose(res_dist.vel, res_local.vel, atol=5e-3)
+    np.testing.assert_allclose(res_dist.bg, res_local.bg, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(res_dist.points), np.asarray(res_local.points),
+        atol=5e-3)
+    assert abs(float(res_dist.total_chi2) - float(res_local.total_chi2)) \
+        < 0.05 * float(res_local.total_chi2) + 10.0
+    # And it actually solves the problem: every perturbed state moves
+    # back toward ground truth (the 0.05 m position perturbation must
+    # shrink; the LAST keyframe is one-sided-constrained so it
+    # converges slowest).
+    for k in range(1, K):
+        err = np.linalg.norm(np.asarray(res_dist.pwb[k]) - pwb[k])
+        # The chain-end keyframe is one-sided-constrained and converges
+        # slowest (same in test_vi's single-device window).
+        assert err < (0.2 if k == K - 1 else 0.1), (k, err)
+    mean_err = np.mean([np.linalg.norm(np.asarray(res_dist.pwb[k])
+                                       - pwb[k]) for k in range(1, K)])
+    assert mean_err < 0.08, mean_err
+
+
 def test_tracker_sharded_gba(rng, mesh):
     """run_global_ba beyond the dense window routes through the
     landmark-sharded engine and reduces reprojection error on a

@@ -175,6 +175,13 @@ class TrackingConfig:
                                     # overlaps mapping (the reference's
                                     # thread pipeline, SURVEY.md 2.4; the
                                     # inertial path always commits inline)
+    pipeline: bool = True           # steady-state OK frames run as ONE
+                                    # fused jitted dispatch with the
+                                    # scalar fetch deferred one frame
+                                    # (zero blocking host syncs — the
+                                    # SURVEY 7.0 "image-in / pose-out"
+                                    # production path). False = fetch
+                                    # within the frame (legacy/sync).
     time_recently_lost: float = 5.0  # IMU dead-reckoning grace period (s)
                                      # (Tracking ctor, src/Tracking.cc:1800)
     kf_ref_ratio: float = 0.9       # insert KF if tracked < ratio * ref KF's

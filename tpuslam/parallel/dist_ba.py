@@ -91,6 +91,66 @@ def distributed_optimize(
     return f(prob, jnp.asarray(cam_params))
 
 
+def vi_window_specs(win, axis=AXIS):
+    """PartitionSpecs for a solver.vi_ba.VIWindow: landmark-indexed
+    arrays sharded over `axis`, keyframe states + the preintegration
+    chain replicated (the inertial factors touch every device
+    identically; only the visual planes scale with M)."""
+    from tpuslam.solver.vi_ba import VIWindow
+
+    preint_spec = jax.tree_util.tree_map(lambda _: P(), win.preint)
+    return VIWindow(
+        Rwb=P(), pwb=P(), vel=P(), bg=P(), ba=P(), fixed=P(),
+        points=P(axis), pt_valid=P(axis),
+        obs_uv=P(None, axis), obs_mask=P(None, axis),
+        obs_inv_sigma2=P(None, axis),
+        preint=preint_spec, edge_valid=P(),
+        Rcb=P(), tcb=P(),
+        obs_ur=P(None, axis) if win.obs_ur is not None else None,
+        obs_uvr=(P(None, axis, None) if win.obs_uvr is not None
+                 else None),
+    )
+
+
+def distributed_optimize_vi(
+    win,
+    cam_params,
+    gravity,
+    walk_info,
+    mesh: Mesh,
+    axis=AXIS,
+    model: str = "pinhole",
+    iters: int = 8,
+    **kw,
+):
+    """Landmark-sharded visual-inertial BA over `mesh[axis]` — the
+    distributed FullInertialBA/LocalInertialBA engine (SURVEY.md
+    section 5.7: the all-keyframe inertial problems are the true
+    long-context workloads; ref /root/reference/src/Optimizer.cc:420).
+    The axis sizes must divide the window's landmark capacity M."""
+    from tpuslam.solver import vi_ba
+    from tpuslam.solver.vi_ba import VIResult
+
+    def _opt(w, cam, g, wi):
+        return vi_ba.optimize_vi(w, cam, g, wi, model=model,
+                                 iters=iters, axis_name=axis, **kw)
+
+    out_specs = VIResult(
+        Rwb=P(), pwb=P(), vel=P(), bg=P(), ba=P(),
+        points=P(axis), chi2=P(None, axis), inlier=P(None, axis),
+        total_chi2=P(),
+    )
+    f = jax.shard_map(
+        _opt,
+        mesh=mesh,
+        in_specs=(vi_window_specs(win, axis), P(), P(), P()),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return f(win, jnp.asarray(cam_params), jnp.asarray(gravity),
+             jnp.asarray(walk_info))
+
+
 def make_batched_extractor(mesh: Mesh, orb_cfg, axis: str = AXIS):
     """jit-compiled frame-sharded batch ORB extraction: (B,H,W) -> batched
     FrameFeatures, B sharded over `mesh[axis]`."""

@@ -152,7 +152,8 @@ def _bias_rw_residual(bgi, bai, bgj, baj, inv_sigma_walk):
     return jnp.concatenate([bgj - bgi, baj - bai]) * inv_sigma_walk
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "model"))
+@functools.partial(jax.jit, static_argnames=("iters", "model",
+                                             "axis_name"))
 def optimize_vi(
     win: VIWindow,
     cam_params,
@@ -169,13 +170,25 @@ def optimize_vi(
     R_rl=None,             # rig extrinsics: X_r = R_rl X_l + t_rl
     t_rl=None,
     chi2_th_rcam: float = CHI2_RCAM,
+    axis_name: str = None,
 ) -> VIResult:
     """Sliding-window VI bundle adjustment (LocalInertialBA analog).
 
     When `win.obs_ur` is present (stereo-inertial), observations with
     obs_ur > 0 carry the 3-dof (u, v, u - bf/z) residual with the
     chi2=7.815 gate (EdgeStereo inside LocalInertialBA,
-    /root/reference/src/Optimizer.cc:4504-4630)."""
+    /root/reference/src/Optimizer.cc:4504-4630).
+
+    `axis_name`: landmark-sharded distributed variant (the
+    FullInertialBA long-context workload, SURVEY.md section 5.7 /
+    /root/reference/src/Optimizer.cc:420). The window's M dimension is
+    a per-device shard under shard_map: the visual reduced camera
+    blocks (U6, Schur off-diagonals, reduced gradient) and the visual
+    cost become partial-sum + psum, the inertial/bias chains — whose
+    inputs are replicated — are assembled identically on every device,
+    and the 15K-dof solve is replicated while landmark back-
+    substitution stays shard-local (exactly local_ba.optimize's
+    layout, wired through parallel.dist_ba.distributed_optimize_vi)."""
     K = win.Rwb.shape[0]
     M = win.points.shape[0]
     dtype = win.Rwb.dtype
@@ -205,6 +218,10 @@ def optimize_vi(
 
     edge_i = jnp.arange(K - 1)
     edge_j = edge_i + 1
+    if axis_name is not None:
+        allreduce = lambda x: jax.lax.psum(x, axis_name)  # noqa: E731
+    else:
+        allreduce = lambda x: x  # noqa: E731
 
     def visual_terms(Rwb, pwb, points):
         """Residual rows r (K,M,R) with R=3 in stereo mode (row 3 already
@@ -274,7 +291,11 @@ def optimize_vi(
 
     def masked_cost(Rwb, pwb, vel, bg, ba, points):
         _, _, _, chi2 = visual_terms(Rwb, pwb, points)
-        vis = jnp.sum(jnp.where(mask, jnp.minimum(chi2, 4.0 * th), 0.0))
+        # Visual cost is a cross-landmark sum (partial per shard);
+        # the inertial/bias terms below are computed from replicated
+        # inputs and added ONCE (identical on every shard).
+        vis = allreduce(jnp.sum(
+            jnp.where(mask, jnp.minimum(chi2, 4.0 * th), 0.0)))
         r_in, _, _ = jax.vmap(
             lambda st, i, j: _edge_residual_and_jac(
                 st, Rwb[i], pwb[i], vel[i], bg[i], ba[i],
@@ -322,6 +343,13 @@ def optimize_vi(
         WVinv = jnp.einsum("kmij,mjl->kmil", Wb, Vinv)
         S6_off = jnp.einsum("kmil,qmjl->kiqj", WVinv, Wb)         # (K,6,K,6)
         b6red = bc6 - jnp.einsum("kmil,ml->ki", WVinv, bp)
+        # Distributed: the visual reduced-camera pieces are partial
+        # sums over this shard's landmarks — reduce them here so the
+        # 15K system below is replicated-consistent before the
+        # (replicated) inertial blocks and damping are added.
+        U6 = allreduce(U6)
+        S6_off = allreduce(S6_off)
+        b6red = allreduce(b6red)
 
         # Scatter the 6-dof visual blocks into the 15K system.
         S = jnp.zeros((K, DOF, K, DOF), dtype)

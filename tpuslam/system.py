@@ -260,7 +260,10 @@ class System:
 
         data = np.load(Path(path), allow_pickle=False)
         tr = self.tracker
-        tr._pending = None            # drop any deferred superstep
+        tr._inflight = []             # drop any in-flight frame and
+        tr._deferred = []             # deferred superstep commits
+        tr._carry_valid = False
+        tr._superstep_busy = False
         fields = {k[3:]: jnp.asarray(data[k]) for k in data.files
                   if k.startswith("ms_")}
         if "kf_ur" not in fields:  # checkpoints from before stereo obs

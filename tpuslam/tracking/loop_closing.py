@@ -61,6 +61,108 @@ def _strong(ms: mapstate.MapState, slot: int):
     return ms.kf_kp_valid[slot] & (ms.kf_response[slot] > STRONG_RESPONSE)
 
 
+def _acc_group_scores_j(scores, covis, min_weight: int = 15,
+                        top_n: int = 10):
+    """Device (jnp) covisibility-group score accumulation — same
+    semantics as retrieval.accumulate_group_scores (the reference's
+    DetectNBestCandidates accScore, KeyFrameDatabase.cc:620) but
+    jit-traceable so loop detection can run as a dispatched program
+    whose scalars the tracker fetches one frame later."""
+    ok = scores >= 0.0
+    w = jnp.where((covis >= min_weight) & ok[None, :],
+                  covis.astype(jnp.float32), -1.0)
+    k = min(top_n, scores.shape[0])
+    top_w, top_idx = jax.lax.top_k(w, k)
+    acc = scores + jnp.sum(jnp.where(top_w > 0, scores[top_idx], 0.0),
+                           axis=1)
+    return jnp.where(ok, acc, -1.0)
+
+
+@jax.jit
+def detect_loop_device(db: retrieval.RetrievalDB, ms: mapstate.MapState,
+                       slot, excl_mask):
+    """Device half of loop detection: retrieval scoring + neighbor
+    exclusion + group accumulation. Returns (cand, cand_score,
+    baseline) as DEVICE scalars — the tracker defers the fetch to the
+    next frame so place recognition never blocks the frame path
+    (the reference runs it in the LoopClosing thread,
+    /root/reference/src/LoopClosing.cc:56).
+
+    `excl_mask`: (K,) bool — slots excluded on host knowledge (the
+    temporally-adjacent window + the query itself)."""
+    scores = retrieval.score_db(
+        db, ms.kf_desc[slot], _strong(ms, slot), ms.kf_response[slot],
+        match_th=25)
+    scores = jnp.where(excl_mask, -1.0, scores)
+    # Covisibility-connected keyframes can never be loop candidates
+    # (spConnectedKeyFrames exclusion, KeyFrameDatabase.cc:620).
+    shared = mapstate.covisibility_weights(ms, slot)
+    scores = jnp.where(shared >= 15, -1.0, scores)
+    covm = mapstate.covisibility_matrix(ms)
+    group = _acc_group_scores_j(scores, covm)
+    top_group = jnp.argmax(group)
+    in_group = (covm[top_group] >= 15) & (scores >= 0)
+    in_group = in_group.at[top_group].set(scores[top_group] >= 0)
+    raw = jnp.where(in_group, scores, -1.0)
+    cand = jnp.argmax(raw).astype(jnp.int32)
+    # Median raw score of the surviving candidates = the alias
+    # baseline for the relative gate (upper-median; the host gate
+    # multiplies by min_margin so the half-sample difference from
+    # numpy's interpolating median is immaterial).
+    ok = scores >= 0
+    n_ok = jnp.sum(ok)
+    sorted_s = jnp.sort(jnp.where(ok, scores, jnp.inf))
+    med = sorted_s[jnp.clip(n_ok // 2, 0, scores.shape[0] - 1)]
+    baseline = jnp.where(n_ok > 3, med, 0.0)
+    return cand, raw[jnp.clip(cand, 0, scores.shape[0] - 1)], baseline
+
+
+def loop_decide(ls: LoopState, slot: int, kf_slots: list, cand: int,
+                cand_score: float, baseline: float) -> Optional[int]:
+    """Host half of loop detection: absolute/relative gates + temporal
+    consistency counting over the fetched device scalars. Shared by the
+    synchronous path (immediate fetch) and the pipelined path (fetch
+    deferred one frame)."""
+    order_of = {s: i for i, s in enumerate(kf_slots)}
+    cur_order = order_of.get(slot, len(kf_slots) - 1)
+    if _DEBUG:
+        print(f"[loop] kf={slot} order={cur_order} cand={cand} "
+              f"score={cand_score:.3f} med={baseline:.3f} "
+              f"need={max(ls.min_score, ls.min_margin * baseline):.3f} "
+              f"consist={ls.consistency}", flush=True)
+    if (cand < 0 or cand_score
+            < max(ls.min_score, ls.min_margin * baseline)):
+        ls.consistency = 0
+        ls.last_candidate = -1
+        return None
+    if (ls.last_candidate >= 0 and ls.last_candidate in order_of
+            and cand in order_of
+            and abs(order_of[cand] - order_of[ls.last_candidate]) <= 3):
+        ls.consistency += 1
+    else:
+        ls.consistency = 1
+    ls.last_candidate = cand
+    if ls.consistency >= ls.consistency_needed:
+        return cand
+    return None
+
+
+def loop_excl_mask(ls: LoopState, slot: int, kf_slots: list, max_kf: int
+                   ) -> Optional[np.ndarray]:
+    """Host-knowledge exclusion mask for detect_loop_device, or None if
+    detection should be skipped entirely (map too young / cooldown)."""
+    order_of = {s: i for i, s in enumerate(kf_slots)}
+    cur_order = order_of.get(slot, len(kf_slots) - 1)
+    if (len(kf_slots) < ls.min_gap + 3
+            or cur_order - ls.last_loop_order < ls.min_gap):
+        return None
+    mask = np.zeros((max_kf,), bool)
+    for s in kf_slots[max(cur_order - ls.min_gap, 0): cur_order + 1]:
+        mask[s] = True
+    mask[slot] = True
+    return mask
+
+
 def on_new_keyframe(ls: LoopState, ms: mapstate.MapState, slot: int):
     """Register the keyframe in the retrieval index (caches its top
     descriptors pre-unpacked — see retrieval.RetrievalDB)."""
@@ -73,72 +175,20 @@ def detect_loop(ls: LoopState, ms: mapstate.MapState, slot: int,
                 kf_slots: list) -> Optional[int]:
     """Returns a geometrically-unverified candidate slot or None.
 
+    Synchronous wrapper: dispatch the device half and fetch its scalars
+    immediately, then apply the shared host gates. The pipelined
+    tracker instead defers the fetch to the next frame (same device
+    program, same loop_decide).
+
     `kf_slots` is the live keyframe list in temporal order — slot ids are
     recycled, so recency is measured by list position, not slot value."""
-    order_of = {s: i for i, s in enumerate(kf_slots)}
-    cur_order = order_of.get(slot, len(kf_slots) - 1)
-    if (len(kf_slots) < ls.min_gap + 3
-            or cur_order - ls.last_loop_order < ls.min_gap):
+    mask = loop_excl_mask(ls, slot, kf_slots, ms.kf_capacity)
+    if mask is None:
         return None
-    scores = np.array(retrieval.score_db(
-        ls.db, ms.kf_desc[slot], _strong(ms, slot),
-        ms.kf_response[slot], match_th=25))
-    # Exclude the temporally-adjacent window AND every covisibility-
-    # connected keyframe (spConnectedKeyFrames exclusion,
-    # KeyFrameDatabase.cc:620 + LoopClosing.cc:  the query's covisible
-    # group can never be a loop candidate). Early in a slow pass a
-    # keyframe more than min_gap back still sees the same points —
-    # that is a neighbor, not a revisit; closing against it records a
-    # bogus loop edge between two genuinely different places.
-    for s in kf_slots[max(cur_order - ls.min_gap, 0): cur_order + 1]:
-        scores[s] = -1.0
-    scores[slot] = -1.0
-    shared = np.asarray(mapstate.covisibility_weights(ms, slot))
-    scores[shared >= 15] = -1.0
-    # Cheap pre-gate: the full (K,K) covisibility matrix below is a
-    # dense (K, mp_capacity) scatter + matmul; skip it (the common case,
-    # no revisit) when no raw score can pass the absolute gate anyway.
-    if float(np.max(scores)) < ls.min_score:
-        ls.consistency = 0
-        ls.last_candidate = -1
-        return None
-    # Rank by covisibility-group accumulated score (DetectNBestCandidates'
-    # accScore, KeyFrameDatabase.cc:620): a real revisit lights up a whole
-    # covisible group, a perceptual alias only itself. The winning group's
-    # best RAW keyframe is the candidate; the absolute/margin gates below
-    # still apply to its raw score.
-    covm = np.asarray(mapstate.covisibility_matrix(ms))
-    group = retrieval.accumulate_group_scores(scores, covm)
-    top_group = int(np.argmax(group))
-    in_group = (covm[top_group] >= 15) & (scores >= 0)
-    in_group[top_group] = scores[top_group] >= 0
-    raw_in_group = np.where(in_group, scores, -1.0)
-    cand = int(np.argmax(raw_in_group))
-    others = scores[(scores >= 0)]
-    baseline = float(np.median(others)) if others.size > 3 else 0.0
-    if _DEBUG:
-        print(f"[loop] kf={slot} order={cur_order} cand={cand} "
-              f"score={scores[cand]:.3f} med={baseline:.3f} "
-              f"need={max(ls.min_score, ls.min_margin * baseline):.3f} "
-              f"consist={ls.consistency}", flush=True)
-    # Absolute + relative gates (the reference compares against the
-    # worst covisible-neighbor score, LoopClosing.cc minScore).
-    if scores[cand] < max(ls.min_score, ls.min_margin * baseline):
-        ls.consistency = 0
-        ls.last_candidate = -1
-        return None
-    # Temporal consistency: same region hit on consecutive keyframes
-    # (region = close in temporal order, not slot arithmetic).
-    if (ls.last_candidate >= 0 and ls.last_candidate in order_of
-            and cand in order_of
-            and abs(order_of[cand] - order_of[ls.last_candidate]) <= 3):
-        ls.consistency += 1
-    else:
-        ls.consistency = 1
-    ls.last_candidate = cand
-    if ls.consistency >= ls.consistency_needed:
-        return cand
-    return None
+    cand, score, baseline = jax.device_get(detect_loop_device(
+        ls.db, ms, slot, jnp.asarray(mask)))
+    return loop_decide(ls, slot, kf_slots, int(cand), float(score),
+                       float(baseline))
 
 
 def detect_merge(ls: LoopState, ms: mapstate.MapState, slot: int,
@@ -154,21 +204,44 @@ def detect_merge(ls: LoopState, ms: mapstate.MapState, slot: int,
     confirmed, else None."""
     if atlas is None or atlas.n_maps == 0:
         return None
+    best_map, best_slot, best_score = jax.device_get(
+        merge_scores_device(ms, slot, atlas))
+    best_map, best_slot, best_score = (int(best_map), int(best_slot),
+                                       float(best_score))
+    return merge_decide(ls, best_map, best_slot, best_score, slot)
+
+
+def merge_scores_device(ms: mapstate.MapState, slot: int, atlas):
+    """Device half of merge detection: best (map, slot, score) over all
+    archived maps as DEVICE scalars (fetch deferrable). One scoring
+    dispatch per archived map; the arg-reduce rides the same queue."""
     q_desc = ms.kf_desc[slot]
     q_valid = _strong(ms, slot)
     q_resp = ms.kf_response[slot]
-    best_map, best_slot, best_score = -1, -1, 0.0
+    best_map = jnp.int32(-1)
+    best_slot = jnp.int32(-1)
+    best_score = jnp.float32(0.0)
     for mi, am in enumerate(atlas.maps):
         if getattr(am, "db", None) is not None:
-            scores = np.asarray(retrieval.score_db(
-                am.db, q_desc, q_valid, q_resp, match_th=25))
+            scores = retrieval.score_db(am.db, q_desc, q_valid, q_resp,
+                                        match_th=25)
         else:
-            scores = np.asarray(retrieval.score_keyframes(
+            scores = retrieval.score_keyframes(
                 am.ms.kf_desc, am.ms.kf_kp_valid, am.ms.kf_valid,
-                q_desc, q_valid, match_th=25))
-        cand = int(np.argmax(scores))
-        if scores[cand] > best_score:
-            best_map, best_slot, best_score = mi, cand, float(scores[cand])
+                q_desc, q_valid, match_th=25)
+        cand = jnp.argmax(scores).astype(jnp.int32)
+        sc = scores[cand]
+        better = sc > best_score
+        best_map = jnp.where(better, jnp.int32(mi), best_map)
+        best_slot = jnp.where(better, cand, best_slot)
+        best_score = jnp.where(better, sc, best_score)
+    return best_map, best_slot, best_score
+
+
+def merge_decide(ls: LoopState, best_map: int, best_slot: int,
+                 best_score: float, slot: int) -> Optional[tuple]:
+    """Host half of merge detection (temporal-consistency counting,
+    mnMergeNumCoincidences >= 3, src/LoopClosing.cc:430)."""
     if _DEBUG:
         print(f"[merge] kf={slot} best_map={best_map} slot={best_slot} "
               f"score={best_score:.3f} consist={ls.merge_consistency}",

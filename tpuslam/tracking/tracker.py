@@ -30,7 +30,7 @@ from __future__ import annotations
 import functools
 import os
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 # Experiment toggles (trace-time constants; default on).
 _GEOM_GATES = not os.environ.get("TPUSLAM_NO_GEOM_GATES")
@@ -266,6 +266,41 @@ def _track_frame_fused(
     new_vis = ms.mp_visible.at[vis_tgt].add(1, mode="drop")
     new_fnd = ms.mp_found.at[fnd_tgt].add(1, mode="drop")
     return R, t, assoc, n_inl, visible_ids, found_ids, new_vis, new_fnd
+
+
+def _prefetch(tree):
+    """Start async device->host copies for every leaf (PJRT
+    copy_to_host_async): by the time the deferred device_get runs, the
+    data is already in the host-side buffer cache and the fetch costs
+    ~0.2 ms instead of a blocking tunnel round trip (measured ~25 ms
+    on the network-attached chip)."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        try:
+            leaf.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+
+
+class _FrameCarry(NamedTuple):
+    """Device-resident inter-frame tracking state: last pose + the
+    constant-velocity motion model. Lives on device so the steady-state
+    frame program chains frame-to-frame with ZERO host round trips
+    (SURVEY.md section 7.0: host traffic is image-in / pose-out)."""
+    R: jax.Array        # (3,3) last camera pose (world->cam)
+    t: jax.Array        # (3,)
+    vel_R: jax.Array    # (3,3) frame-to-frame relative motion
+    vel_t: jax.Array    # (3,)
+
+
+@jax.jit
+def _bump_stats(mp_visible, mp_found, vis_tgt, fnd_tgt):
+    """Apply one frame's found/visible counter bumps to the CURRENT
+    pools. The frame program emits target indices instead of updated
+    arrays so a keyframe superstep dispatched between the frame's
+    tracking and its retirement can never be clobbered by a stale
+    full-array rebind (targets commute; arrays do not)."""
+    return (mp_visible.at[vis_tgt].add(1, mode="drop"),
+            mp_found.at[fnd_tgt].add(1, mode="drop"))
 
 
 @jax.jit
@@ -721,6 +756,17 @@ class MonoTracker:
             self.body_state = None     # last frame's (Rwb,pwb) np arrays
             self._map_updated = True
         self._vel_pred = None
+        # Pipelined frame path state (SURVEY 7.0 fused production loop).
+        self._fp = None               # built lazily per (sensor, shapes)
+        self._inflight = []           # dispatched-not-yet-retired frames
+        self._deferred = []           # (device_tree, handler) FIFO
+        self._carry = None            # _FrameCarry on device
+        self._carry_valid = False
+        self._pipe_fail = 0           # consecutive pipelined misses
+        self._last_ninl = 0
+        self._world_moved = False
+        self._win_count_est = 0       # window landmark-count estimate
+        self._superstep_busy = False
         self.last_R = np.eye(3, dtype=np.float32)
         self.last_t = np.zeros(3, np.float32)
         self.vel_R = np.eye(3, dtype=np.float32)
@@ -743,13 +789,26 @@ class MonoTracker:
         `img_right` (sensor == stereo): rectified right image.
         `depth` (sensor == rgbd): (H,W) metric depth image.
         `ts`: frame timestamp (s) — enables the stream-corruption guards.
-        """
-        # Commit the previous keyframe's deferred mapping superstep
-        # FIRST: every decision below then reads fresh state (the
-        # device worked on the superstep while the host fetched and
-        # staged this frame). Then advance any queued background
-        # global-BA by one chunk (the GBA child-thread analog).
-        self._commit_mapping()
+
+        Steady-state OK frames in visual modes run PIPELINED: the whole
+        frame (extraction + prediction + guided tracking + motion-model
+        update) is ONE jitted dispatch whose scalar outputs are fetched
+        at the START of the next process() call — by then the device has
+        finished and the async host copy has landed, so the fetch is
+        sub-millisecond instead of a blocking tunnel round trip. The
+        host state machine (keyframe decision, loss handling, superstep
+        commits, place recognition) therefore runs one frame latent —
+        the reference tolerates exactly this latency through its
+        tracking/mapping/loop thread queues (SURVEY.md section 2.4)."""
+        # Retire the in-flight pipelined frame FIRST: every decision
+        # below then reads fresh state (the device worked on that frame
+        # plus any keyframe superstep while the host staged this one).
+        # Then advance any queued background global-BA by one chunk
+        # (the GBA child-thread analog).
+        if self._inflight:
+            self._retire(self._inflight.pop(0))
+        else:
+            self._commit_mapping()
         self._gba_step()
         # Timestamp-jump guards (src/Tracking.cc:1584-1629): a backwards
         # timestamp means a corrupted stream; a >1 s forward gap breaks
@@ -771,6 +830,11 @@ class MonoTracker:
                 self._cur_dt = float(np.clip(ts - self.last_ts,
                                              1e-3, 1.0))
             self.last_ts = float(ts)
+        if (self.cfg.tracking.pipeline and self.state == "OK"
+                and not self._use_imu and not self.frozen
+                and self.kf_slots):
+            return self._dispatch_pipelined(img, img_right, depth, ts)
+        self._carry_valid = False
         if imu is not None and self._use_imu:
             with self.timer.stage("imu_preintegration"):
                 self._integrate_imu(*imu)
@@ -902,12 +966,278 @@ class MonoTracker:
             self.traj_rel.append(self.trajectory[-1])
         return out
 
+    # -- pipelined steady-state path ----------------------------------------
+
+    def _dispatch_pipelined(self, img, img_right, depth, ts) -> FrameResult:
+        """Dispatch the fused frame program (ONE device dispatch) and
+        defer the scalar fetch to the next process() call. Returns a
+        LAZY FrameResult: pose fields are device arrays (forcing them
+        syncs — production consumers read the trajectory instead)."""
+        if self._fp is None:
+            self._fp = self._build_frame_program()
+        if self._carry is None or not self._carry_valid:
+            self._carry = _FrameCarry(
+                R=jnp.asarray(self.last_R), t=jnp.asarray(self.last_t),
+                vel_R=jnp.asarray(self.vel_R),
+                vel_t=jnp.asarray(self.vel_t))
+            self._carry_valid = True
+        dt_ratio = self._cur_dt / max(self._prev_dt, 1e-6)
+        _, _, mp_ids, _ = self._window()
+        if self.cfg.sensor == "stereo":
+            extra = jnp.asarray(img_right, jnp.float32)
+        elif self.cfg.sensor == "rgbd":
+            extra = jnp.asarray(depth, jnp.float32)
+        else:
+            extra = jnp.zeros((1, 1), jnp.float32)
+        ref = self.kf_slots[-1]
+        with self.timer.stage("frame_dispatch"):
+            (carry2, small, feats, assoc, vis_tgt, fnd_tgt,
+             stereo_t) = self._fp(
+                jnp.asarray(img, jnp.float32), extra, self._carry,
+                self.ms, mp_ids, jnp.float32(dt_ratio), jnp.int32(ref))
+        self._carry = carry2
+        _prefetch(small)
+        items, self._deferred = self._deferred, []
+        self._inflight.append(dict(
+            small=small, feats=feats, assoc=assoc, vis_tgt=vis_tgt,
+            fnd_tgt=fnd_tgt, stereo=stereo_t, ts=ts, ref=ref,
+            deferred=items))
+        self._prev_dt = self._cur_dt
+        return FrameResult("OK", small[0], small[1], self._last_ninl)
+
+    def _retire(self, rec):
+        """Host half of a pipelined frame, one frame later: ONE
+        device_get (async-prefetched, so usually sub-ms), then the
+        state machine — superstep commit handlers, loss handling,
+        keyframe decision + creation, trajectory bookkeeping."""
+        tcfg = self.cfg.tracking
+        with self.timer.stage("retire_fetch"):
+            small, dvals = jax.device_get(
+                (rec["small"], [t for t, _ in rec["deferred"]]))
+        # Handlers first (superstep cull/ref/loop + world corrections):
+        # mirrors the sync ordering where _commit_mapping runs at frame
+        # start before any tracking decision.
+        self._world_moved = False
+        for (_, h), v in zip(rec["deferred"], dvals):
+            h(v)
+        if self._use_depth:
+            R, t, n_inl, refR, reft, n_trk, n_untrk = small
+            self._need_close = int(n_trk) < 100 and int(n_untrk) > 70
+        else:
+            R, t, n_inl, refR, reft = small
+        R = np.asarray(R, np.float32)
+        t = np.asarray(t, np.float32)
+        n_inl = int(n_inl)
+        self._last_ninl = n_inl
+        if not self.frozen:
+            vis, fnd = _bump_stats(self.ms.mp_visible, self.ms.mp_found,
+                                   rec["vis_tgt"], rec["fnd_tgt"])
+            self.ms = self.ms._replace(mp_visible=vis, mp_found=fnd)
+        if n_inl < tcfg.min_inliers_track:
+            self._pipe_fail += 1
+            # Dead frame logs the last good pose as an absolute entry
+            # (the sync loss path does the same).
+            entry = np.concatenate([self.last_R.reshape(-1), self.last_t])
+            self.trajectory.append(entry)
+            self.traj_ref.append(-1)
+            self.traj_rel.append(entry)
+            if self._pipe_fail >= 2:
+                # The in-flight retry (tracked from the last good pose
+                # with zero velocity — the device carry holds exactly
+                # that when a frame misses) also failed: hand over to
+                # the loss state machine (reloc / Atlas recovery).
+                self.state = "LOST"
+                self._carry_valid = False
+                self.vel_R = np.eye(3, dtype=np.float32)
+                self.vel_t = np.zeros(3, np.float32)
+            return
+        recovered = self._pipe_fail > 0
+        self._pipe_fail = 0
+        if self._world_moved:
+            # A handler transformed the world (loop correction / merge):
+            # the fetched pose is in the PRE-correction frame. The
+            # handler re-anchored last_R/last_t; keep those, log this
+            # frame as a rel entry (rel chaining through the ref KF's
+            # corrected pose absorbs the transform at export), and let
+            # the next dispatch re-seed the device carry.
+            self._carry_valid = False
+            self.vel_R = np.eye(3, dtype=np.float32)
+            self.vel_t = np.zeros(3, np.float32)
+        elif recovered:
+            # Re-entry across a gap: the step measures accumulated
+            # drift, not motion (src/Tracking.cc:2153-2167).
+            self.vel_R = np.eye(3, dtype=np.float32)
+            self.vel_t = np.zeros(3, np.float32)
+            self.last_R, self.last_t = R, t
+        else:
+            self.vel_R = R @ self.last_R.T
+            self.vel_t = t - self.vel_R @ self.last_t
+            self.last_R, self.last_t = R, t
+        self.frames_since_kf += 1
+        is_kf = False
+        if not self._world_moved:
+            is_kf = self._need_keyframe(n_inl)
+        if is_kf:
+            if self._use_depth:
+                self._cur_stereo, self._cur_stereo_xc, \
+                    self._cur_stereo_uvr = rec["stereo"]
+            ts_save = self.last_ts
+            self.last_ts = rec["ts"] if rec["ts"] is not None else ts_save
+            self._create_keyframe(rec["feats"], R, t, rec["assoc"],
+                                  n_inl)
+            self.last_ts = ts_save
+        # Trajectory (the producers at src/Tracking.cc:2274-2296).
+        entry = np.concatenate([R.reshape(-1), t])
+        self.trajectory.append(entry)
+        if self.kf_slots:
+            if is_kf:
+                self.traj_ref.append(self.kf_slots[-1])
+                self.traj_rel.append(np.concatenate(
+                    [np.eye(3, dtype=np.float32).reshape(-1),
+                     np.zeros(3, np.float32)]))
+            else:
+                refR = np.asarray(refR, np.float32)
+                reft = np.asarray(reft, np.float32)
+                R_cr = R @ refR.T
+                t_cr = t - R_cr @ reft
+                self.traj_ref.append(rec["ref"])
+                self.traj_rel.append(np.concatenate(
+                    [R_cr.reshape(-1), t_cr]).astype(np.float32))
+        else:
+            self.traj_ref.append(-1)
+            self.traj_rel.append(entry)
+
+    def _build_frame_program(self):
+        """Build the fused per-frame device program for this tracker's
+        sensor mode: extraction (+ stereo/RGBD depth association) +
+        motion-model prediction + guided local-map tracking + the
+        motion-model update, chained through a device-resident carry.
+        This IS the production analog of tracking/step.py's bench
+        kernel (SURVEY.md section 7.0: "the tracking step is one fused
+        jitted program, host traffic image-in / pose-out")."""
+        orb_cfg = self.cfg.orb
+        sensor = self.cfg.sensor
+        model = self.model
+        cam_params = self.cam_params
+        dist = self.dist
+        scale_lut = self.scale_lut
+        sigma2_lut = self.sigma2_lut
+        inv_sigma2_lut = self.inv_sigma2_lut
+        img_wh = self.img_wh
+        min_ok = int(self.cfg.tracking.min_inliers_track)
+        sched = ((2, 5), (3, 5)) if self._use_imu else ((2, 3), (2, 4))
+        level_widen = bool(self._use_imu)
+        use_depth = self._use_depth
+        ba_stereo = self._ba_stereo
+        fisheye = self._fisheye_stereo
+        bf = jnp.float32(self.cfg.camera.bf)
+        bf_f = float(self.cfg.camera.bf)
+        depth_th = jnp.float32(self.depth_th)
+        rig = self._rig
+        cam_params_r = getattr(self, "cam_params_r", None)
+        R_lr = getattr(self, "R_lr", None)
+        t_lr = getattr(self, "t_lr", None)
+        lap_l = getattr(self, "lapping_l", None)
+        lap_r = getattr(self, "lapping_r", None)
+
+        def fp(img, extra, carry, ms, mp_ids, dt_ratio, ref_slot):
+            feats = extractor.extract(img, orb_cfg)
+            if dist is not None:
+                feats = feats._replace(uv=_undistort_uv(
+                    feats.uv, cam_params, dist))
+            stereo_t = (None, None, None)
+            feats_ur = None
+            feats_uvr = None
+            rig_args = (None, None, None)
+            if sensor == "stereo":
+                feats_r = extractor.extract(extra, orb_cfg)
+                if fisheye:
+                    from tpuslam.frontend import stereo_fisheye
+                    sm, xc, uvr = stereo_fisheye.match_stereo_fisheye(
+                        feats, feats_r, cam_params, cam_params_r,
+                        R_lr, t_lr, sigma2_lut, lap_l, lap_r)
+                    stereo_t = (sm, xc, uvr)
+                    feats_uvr = uvr
+                    rig_args = rig
+                else:
+                    from tpuslam.frontend import stereo as stereo_mod
+                    sm = stereo_mod.match_stereo(feats, feats_r,
+                                                 scale_lut, bf_f)
+                    sm = stereo_mod.refine_subpixel(img, extra, feats.uv,
+                                                    sm, bf)
+                    stereo_t = (sm, None, None)
+                    feats_ur = sm.u_right
+            elif sensor == "rgbd":
+                from tpuslam.frontend.stereo import StereoMatches
+                ui = jnp.clip(feats.uv[:, 0].astype(jnp.int32), 0,
+                              extra.shape[1] - 1)
+                vi = jnp.clip(feats.uv[:, 1].astype(jnp.int32), 0,
+                              extra.shape[0] - 1)
+                z = extra[vi, ui]
+                okz = feats.valid & (z > 0)
+                disp = bf / jnp.maximum(z, 1e-6)
+                sm = StereoMatches(
+                    disparity=jnp.where(okz, disp, -1.0),
+                    u_right=jnp.where(okz, feats.uv[:, 0] - disp, -1.0),
+                    depth=jnp.where(okz, z, jnp.inf), valid=okz)
+                stereo_t = (sm, None, None)
+                feats_ur = sm.u_right
+            # Constant-velocity prediction, dt-scaled on the manifold.
+            w = lie.so3_log(carry.vel_R) * dt_ratio
+            vel_R_s = lie.so3_exp(w)
+            R_pred = vel_R_s @ carry.R
+            t_pred = vel_R_s @ carry.t + carry.vel_t * dt_ratio
+            cap = ms.mp_capacity
+            safe = jnp.clip(mp_ids, 0, cap - 1)
+            mp_ok = (mp_ids >= 0) & ms.mp_valid[safe]
+            R, t, assoc, n_inl, visible_ids, found_ids = _track_pose_impl(
+                R_pred, t_pred, mp_ids, ms.mp_pos[safe],
+                ms.mp_desc[safe], ms.mp_level[safe], mp_ok,
+                ms.mp_normal[safe], ms.mp_dist_min[safe],
+                ms.mp_dist_max[safe],
+                feats, cam_params, scale_lut, inv_sigma2_lut, img_wh,
+                model=model, sched=sched, level_widen=level_widen,
+                feats_ur=(feats_ur if ba_stereo else None), bf=bf,
+                feats_uvr=(feats_uvr if fisheye else None),
+                rig=rig_args)
+            ok = n_inl >= min_ok
+            eye = jnp.eye(3, dtype=jnp.float32)
+            zero3 = jnp.zeros((3,), jnp.float32)
+            vel_R_new = jnp.where(ok, R @ carry.R.T, eye)
+            vel_t_new = jnp.where(ok, t - vel_R_new @ carry.t, zero3)
+            carry2 = _FrameCarry(
+                R=jnp.where(ok, R, carry.R),
+                t=jnp.where(ok, t, carry.t),
+                vel_R=vel_R_new, vel_t=vel_t_new)
+            vis_tgt = jnp.where(ok & (visible_ids >= 0), visible_ids, cap)
+            fnd_tgt = jnp.where(ok & (found_ids >= 0), found_ids, cap)
+            rs = jnp.clip(ref_slot, 0, ms.kf_capacity - 1)
+            small = (R, t, n_inl, ms.kf_R[rs], ms.kf_t[rs])
+            if use_depth:
+                sm = stereo_t[0]
+                close = sm.valid & (sm.depth < depth_th)
+                tracked = assoc >= 0
+                small = small + (jnp.sum(close & tracked),
+                                 jnp.sum(close & ~tracked))
+            return carry2, small, feats, assoc, vis_tgt, fnd_tgt, stereo_t
+
+        return jax.jit(fp)
+
+    def _defer(self, tree, handler):
+        """Queue device scalars for a deferred host fetch: the async
+        host copy starts now; the values land in a handler at the next
+        frame's retire (pipelined) or the next _commit_mapping (sync)."""
+        _prefetch(tree)
+        self._deferred.append((tree, handler))
+
     def flush(self):
-        """Commit any pending deferred mapping superstep (async mode)
-        and drain any queued background global-BA chunks — the
-        reference joins its GBA child thread on Shutdown
-        (src/System.cc:498). Call before reading summary state (stats,
-        loop/merge counters, n_mp) outside the per-frame loop."""
+        """Retire any in-flight pipelined frame, commit any pending
+        deferred mapping superstep, and drain queued background
+        global-BA chunks — the reference joins its GBA child thread on
+        Shutdown (src/System.cc:498). Call before reading summary state
+        (stats, loop/merge counters, n_mp) outside the per-frame loop."""
+        while self._inflight:
+            self._retire(self._inflight.pop(0))
         self._commit_mapping()
         while getattr(self, "_gba_left", 0):
             self._gba_step()
@@ -1292,6 +1622,9 @@ class MonoTracker:
         start a fresh active map — the Atlas elastic-recovery path."""
         from tpuslam.mapping.atlas import ArchivedMap
 
+        # Apply any in-flight superstep commits to the outgoing map
+        # BEFORE archiving it (their handlers reference its slots).
+        self.flush()
         kept = self.atlas.archive(ArchivedMap(
             ms=self.ms, kf_slots=list(self.kf_slots), n_kf=self.n_kf,
             n_mp=self.n_mp, trajectory=list(self.trajectory),
@@ -1326,6 +1659,13 @@ class MonoTracker:
         self.kf_slots = []
         self.free_kf_slots = []
         self.kf_ts = {}
+        # Pipeline state dies with the map.
+        self._inflight = []
+        self._deferred = []
+        self._carry_valid = False
+        self._superstep_busy = False
+        self._pipe_fail = 0
+        self._win_count_est = 0
         self._invalidate_kf_set()
         if self._use_imu:
             # New map => new (non-metric) scale regime: the old map's
@@ -1638,10 +1978,18 @@ class MonoTracker:
             # Landmark-axis shape bucket: the BA grid (and every
             # window-gathered kernel) is bandwidth-bound in the landmark
             # dimension, so size it to the smallest power-of-two bucket
-            # holding the ACTUAL occupancy instead of always paying the
-            # full cap (VERDICT r02: ~95% of the dense grid was padding).
-            count = int(mapstate.count_window_points(
-                self.ms, self._win_slots[0]))
+            # holding the occupancy instead of always paying the full
+            # cap (VERDICT r02: ~95% of the dense grid was padding).
+            # The occupancy ESTIMATE is the previous superstep's
+            # device-counted value (deferred-fetched), +30% margin for
+            # the triangulations since — fetching an exact count here
+            # was one blocking tunnel round trip per superstep stage
+            # (measured 48 ms each in the r04 e2e loop). Young maps
+            # (no estimate yet) fall back to the global live-point
+            # count, which upper-bounds any window.
+            est = self._win_count_est if self._win_count_est > 0 \
+                else self.n_mp
+            count = int(1.3 * max(est, 256))
             cap = 512
             while cap < min(count, mcfg.ba_point_cap):
                 cap *= 2
@@ -2017,16 +2365,28 @@ class MonoTracker:
         self.cur_preint = pre.init_state(jnp.asarray(self.bg),
                                          jnp.asarray(self.ba))
 
-    VIBA_K = 8   # static window size of the VI window BA (ref Nd=10,
-                 # src/Optimizer.cc:4508; 25 when bLarge)
+    # Distributed FullInertialBA kicks in beyond this window size when
+    # the process sees >1 device (the all-KF inertial problem is the
+    # long-context workload SURVEY 5.7 says must shard).
+    VIBA_SHARD_MIN_K = 64
+
+    def _viba_window_size(self) -> Tuple[int, int]:
+        """LocalInertialBA window: Nd=10, escalated to 25 while tracking
+        is strong — the reference's bLarge switch selects the big window
+        when the frame holds >75 inliers (>100 for sensor-depth modes)
+        (/root/reference/src/LocalMapping.cc:179,
+        src/Optimizer.cc:4508-4511). Returns (Nd, pow2 array bucket)."""
+        strong = self._last_ninl > (100 if self._use_depth else 75)
+        return (25, 32) if strong else (10, 16)
 
     def _local_inertial_ba(self, iters: int = 8):
         """Sliding-window VI bundle adjustment over the temporal keyframe
         chain (LocalInertialBA, /root/reference/src/Optimizer.cc:4504,
         Nd-window via mPrevKF links; also the VIBA1 role right after IMU
         init, src/LocalMapping.cc:1593)."""
-        slots = self._preint_tail(self.VIBA_K)
-        self._inertial_window_ba(slots, self.VIBA_K,
+        nd, bucket = self._viba_window_size()
+        slots = self._preint_tail(nd)
+        self._inertial_window_ba(slots, bucket,
                                  self.cfg.map.ba_point_cap, iters)
 
     def _full_inertial_ba(self, iters: int = 7):
@@ -2036,7 +2396,9 @@ class MonoTracker:
         (src/LocalMapping.cc:1597) and its=7 as the inertial global BA
         after loop closure (src/LoopClosing.cc:2788). Window size and
         landmark capacity are bucketed to powers of two so the kernel
-        compiles O(log) times."""
+        compiles O(log) times. Big windows on a multi-device process
+        route through the landmark-sharded engine
+        (parallel.dist_ba.distributed_optimize_vi)."""
         slots = self._preint_tail(len(self.kf_slots))
         n = len(slots)
         if n < 3:
@@ -2045,18 +2407,20 @@ class MonoTracker:
         while K < n:
             K *= 2
         K = min(K, self.cfg.map.max_keyframes)
-        count = int(mapstate.count_window_points(
-            self.ms, jnp.asarray(
-                np.pad(np.asarray(slots[:K], np.int32), (0, K - min(n, K)),
-                       constant_values=-1))))
+        # Host-tracked live-point count bounds the landmark axis — a
+        # device count fetch here was one blocking round trip per call.
         cap = 2048
-        while cap < min(count, self.cfg.map.max_points):
+        while cap < min(int(1.2 * self.n_mp), self.cfg.map.max_points):
             cap *= 2
         cap = min(cap, self.cfg.map.max_points)
-        self._inertial_window_ba(slots[:K], K, cap, iters)
+        sharded = (K >= self.VIBA_SHARD_MIN_K
+                   and len(jax.devices()) > 1
+                   and cap % len(jax.devices()) == 0)
+        self._inertial_window_ba(slots[:K], K, cap, iters,
+                                 sharded=sharded)
 
     def _inertial_window_ba(self, slots, K: int, pt_cap: int,
-                            iters: int):
+                            iters: int, sharded: bool = False):
         """Joint VI BA over `slots` (a consecutive preint chain) padded
         to the static window size K with up to pt_cap landmarks.
         Refines window poses, velocities, biases and points jointly;
@@ -2115,10 +2479,26 @@ class MonoTracker:
         )
         rig_kw = ({"cam_params_r": self._rig[0], "R_rl": self._rig[1],
                    "t_rl": self._rig[2]} if self._fisheye_stereo else {})
-        res = vi_ba.optimize_vi(
-            win, self.cam_params, self.gravity_w,
-            self.walk_info, iters=iters, model=self.model,
-            bf=jnp.float32(self.cfg.camera.bf), **rig_kw)
+        if sharded:
+            from jax.sharding import Mesh
+
+            from tpuslam.parallel import dist_ba
+
+            devs = jax.devices()
+            d = 1
+            while d * 2 <= len(devs) and pt_cap % (d * 2) == 0:
+                d *= 2
+            with self.timer.stage("viba_sharded"):
+                mesh = Mesh(np.asarray(devs[:d]), (dist_ba.AXIS,))
+                res = dist_ba.distributed_optimize_vi(
+                    win, self.cam_params, self.gravity_w, self.walk_info,
+                    mesh, iters=iters, model=self.model,
+                    bf=jnp.float32(self.cfg.camera.bf), **rig_kw)
+        else:
+            res = vi_ba.optimize_vi(
+                win, self.cam_params, self.gravity_w,
+                self.walk_info, iters=iters, model=self.model,
+                bf=jnp.float32(self.cfg.camera.bf), **rig_kw)
 
         # Write back: poses (Tcw from body), points, bias/velocities.
         R_cw = jnp.einsum("ij,kaj->kia", Rcb_j, res.Rwb)
@@ -2411,8 +2791,9 @@ class MonoTracker:
         local device. No keyframe is ever beyond the horizon (round-3
         verdict: the old 256-KF cap left old map segments merely
         pose-graph-corrected, never BA'd)."""
-        kf_valid = np.asarray(self.ms.kf_valid)   # ONE fetch, not per-slot
-        live = [s for s in self.kf_slots if kf_valid[s]]
+        # kf_slots IS the live set (culls/resets maintain it on host) —
+        # a kf_valid fetch here was one blocking round trip per chunk.
+        live = list(self.kf_slots)
         if len(live) > self.GBA_WINDOW:
             self._run_global_ba_sharded(live, iters)
             return
@@ -2465,9 +2846,10 @@ class MonoTracker:
         fixed = np.ones((K,), bool)
         fixed[2:n] = False
         kf_ids_j = jnp.asarray(kf_ids)
-        count = int(mapstate.count_window_points(self.ms, kf_ids_j))
+        # Global problem: the host-tracked live-point count bounds the
+        # landmark axis (no device count fetch on the chunk path).
         cap = 4096
-        while cap < min(count, self.cfg.map.max_points):
+        while cap < min(int(1.2 * self.n_mp), self.cfg.map.max_points):
             cap *= 2
         cap = min(cap, self.cfg.map.max_points)
         mp_ids, local = mapstate.local_point_ids(
@@ -2518,7 +2900,7 @@ class MonoTracker:
         left = getattr(self, "_gba_left", 0)
         if not left or self.frozen:
             return
-        if getattr(self, "_pending", None) is not None:
+        if getattr(self, "_superstep_busy", False):
             return
         chunk = min(self.GBA_CHUNK_ITERS, left)
         with self.timer.stage("gba_chunk"):
@@ -2745,14 +3127,41 @@ class MonoTracker:
                     red_dev = mapstate.keyframe_redundancy(self.ms, cand)
 
         min_obs = 3 if len(self.kf_slots) > 2 else 2
-        self._pending = {
-            "slot": slot,
+        pend = {
             "n_mp": n_mp_dev,
             "chi2": chi2,
-            "cull_cand": cull_cand,
-            "red": red_dev,
+            "red": (red_dev if red_dev is not None
+                    else jnp.float32(0.0)),
             "ref": mapstate.kf_tracked_points(self.ms, slot, min_obs),
+            # Window landmark occupancy AFTER this superstep — the
+            # next window's bucket estimate (replaces the blocking
+            # per-stage count fetch, see _window).
+            "win_count": mapstate.count_window_points(
+                self.ms, self._window()[0]),
         }
+        # Place recognition for the new keyframe: the DEVICE halves
+        # (retrieval scoring + covisibility-group accumulation; merge
+        # scoring against every archived map) dispatch here and ride
+        # the superstep's queue; the host gates + temporal-consistency
+        # counting run in the commit handler on the deferred scalars.
+        # Detection therefore never blocks the frame path — the
+        # reference runs it in the LoopClosing thread
+        # (/root/reference/src/LoopClosing.cc:56).
+        if self.enable_loop_closing and not self.frozen:
+            with self.timer.stage("loop_detect"):
+                loop_closing.on_new_keyframe(self.loop, self.ms, slot)
+                mask = loop_closing.loop_excl_mask(
+                    self.loop, slot, self.kf_slots, self.ms.kf_capacity)
+                if mask is not None:
+                    pend["loop"] = loop_closing.detect_loop_device(
+                        self.loop.db, self.ms, slot, jnp.asarray(mask))
+            if self.atlas is not None and self.atlas.n_maps:
+                with self.timer.stage("merge_detect"):
+                    pend["merge"] = loop_closing.merge_scores_device(
+                        self.ms, slot, self.atlas)
+        self._superstep_busy = True
+        self._defer(pend, functools.partial(self._commit_superstep,
+                                            slot, cull_cand))
         # Inertial sessions commit in place (the init ladder and the
         # preintegration bookkeeping are host-interactive anyway);
         # visual sessions defer the host round trips to the next frame.
@@ -2761,33 +3170,37 @@ class MonoTracker:
             self._commit_mapping()
 
     def _commit_mapping(self):
-        """Superstep COMMIT: fetch the deferred scalars (by now the
-        device has finished or nearly finished the dispatched chain),
-        apply keyframe culling, refresh the KF-decision reference count,
-        and run place recognition (loop + merge) for the new keyframe —
-        the host-decision half of LocalMapping::Run + LoopClosing::Run.
-        Runs at the start of the next `process` call (or immediately in
-        sync/inertial mode), so no tracking decision ever reads a stale
-        value."""
-        p = getattr(self, "_pending", None)
-        if p is None:
+        """Superstep COMMIT, sync flavor: blocking-fetch every deferred
+        device scalar tree and run its handler now. The inertial path
+        and flush() use this; the pipelined path drains the SAME FIFO
+        inside _retire where the fetch is async-prefetched and
+        therefore sub-millisecond."""
+        if not self._deferred:
             return
-        self._pending = None
-        slot = p["slot"]
-        # One batched fetch of every deferred device scalar.
-        n_mp, chi2, red, ref = jax.device_get(
-            (p["n_mp"], p["chi2"],
-             p["red"] if p["red"] is not None else jnp.float32(0.0),
-             p["ref"]))
-        self.n_mp = int(n_mp)
-        chi2 = float(chi2)
+        items, self._deferred = self._deferred, []
+        vals = jax.device_get([t for t, _ in items])
+        for (_, h), v in zip(items, vals):
+            h(v)
+
+    def _commit_superstep(self, slot, cull_cand, vals):
+        """Host-decision half of LocalMapping::Run + LoopClosing::Run,
+        applied to one superstep's fetched scalars: keyframe culling,
+        KF-decision reference count, loop/merge gating + correction.
+        Runs one-to-two frames after the superstep dispatch (pipelined)
+        or immediately (sync/inertial)."""
+        self._superstep_busy = False
+        self.n_mp = int(vals["n_mp"])
+        chi2 = float(vals["chi2"])
+        red = float(vals["red"])
+        ref = int(vals["ref"])
+        self._win_count_est = int(vals["win_count"])
 
         # Keyframe culling (LocalMapping::KeyFrameCulling, th 0.9): the
         # 3rd-newest keyframe once the window is warm. In inertial mode
         # the culled keyframe's preintegration is merged into its
         # successor so the temporal IMU chain stays intact
         # (src/LocalMapping.cc:1282-1287).
-        cand = p["cull_cand"]
+        cand = cull_cand
         if cand is not None and cand in self.kf_slots \
                 and float(red) > 0.9:
             if self._use_imu:
@@ -2819,12 +3232,17 @@ class MonoTracker:
         # and one bad frame kills it.
         self.ref_tracked = max(int(ref), 1)
 
-        # Loop closing (LoopClosing::Run per-keyframe logic).
+        # Loop closing (LoopClosing::Run per-keyframe logic): gate the
+        # superstep-dispatched detection scalars, then verify/correct
+        # on a confirmed candidate (the rare event pays its syncs).
         if self.enable_loop_closing:
-            loop_closing.on_new_keyframe(self.loop, self.ms, slot)
-            with self.timer.stage("loop_detect"):
-                cand = loop_closing.detect_loop(self.loop, self.ms, slot,
-                                                self.kf_slots)
+            cand = None
+            if "loop" in vals:
+                c, sc, base = vals["loop"]
+                with self.timer.stage("loop_detect"):
+                    cand = loop_closing.loop_decide(
+                        self.loop, slot, self.kf_slots, int(c),
+                        float(sc), float(base))
             if cand is not None:
                 self.key, sub = jax.random.split(self.key)
                 with self.timer.stage("loop_correct"):
@@ -2861,17 +3279,22 @@ class MonoTracker:
                         self.last_t = np.asarray(self.ms.kf_t[slot])
                         self.vel_R = np.eye(3, dtype=np.float32)
                         self.vel_t = np.zeros(3, np.float32)
+                        self._world_moved = True
+                        self._carry_valid = False
                         self.n_loops_closed += 1
             # Cross-map place recognition: the same new keyframe is also
             # scored against every archived map; a stable verified hit
             # triggers the weld (NewDetectCommonRegions' merge branch,
             # /root/reference/src/LoopClosing.cc:430-443).
-            if self.atlas is not None and self.atlas.n_maps:
+            mcand = None
+            if "merge" in vals:
+                bm, bs, bsc = vals["merge"]
                 with self.timer.stage("merge_detect"):
-                    mcand = loop_closing.detect_merge(
-                        self.loop, self.ms, slot, self.atlas)
-                if mcand is not None:
-                    mi, mkf = mcand
+                    mcand = loop_closing.merge_decide(
+                        self.loop, int(bm), int(bs), float(bsc), slot)
+            if mcand is not None:
+                mi, mkf = mcand
+                if mi < (self.atlas.n_maps if self.atlas else 0):
                     self.key, sub = jax.random.split(self.key)
                     with self.timer.stage("merge"):
                         ok, s_m, R_m, t_m = loop_closing.verify_loop(
@@ -2879,6 +3302,8 @@ class MonoTracker:
                             ms_cand=self.atlas.maps[mi].ms)
                         if ok and self._merge_maps(mi, mkf, slot,
                                                    s_m, R_m, t_m):
+                            self._world_moved = True
+                            self._carry_valid = False
                             self.n_merges += 1
 
         if self._use_imu:
