@@ -89,9 +89,11 @@ def main():
                    help="frames per keyframe (measured cadence of the "
                         "ratio-gated policy on synthetic orbit runs)")
     p.add_argument("--cpu", action="store_true")
-    p.add_argument("--e2e-frames", type=int, default=96,
-                   help="frames of the end-to-end wall-clock loop "
-                        "(0 disables)")
+    p.add_argument("--e2e-frames", type=int, default=600,
+                   help="frames of the end-to-end ring-circuit loop "
+                        "(2.25pi arc; >=64 warmup + the rest timed, "
+                        "with a loop closure inside the timed window; "
+                        "0 disables)")
     args = p.parse_args()
 
     import os
@@ -394,28 +396,53 @@ def main():
                       + 150 * W * cap) / 1e9
 
     # ---- 4) END-TO-END wall-clock: the REAL tracker loop on device ----
-    # Full MonoTracker.process (extraction, tracking, keyframe
-    # supersteps, loop detection ON) over pre-rendered frames. Wall
-    # time includes every host sync; blocking round trips are counted
-    # (wrapping jax.device_get + jax.Array fetch dunders) so the
-    # tunnel's per-sync cost — which a co-located production host does
-    # not pay — can be reported separately, not hidden.
+    # Full MonoTracker.process over a ring-world closed circuit at
+    # EuRoC frame size — the loop-closure integration fixture
+    # (tests/test_loop_e2e.py) at bench scale: keyframe supersteps at
+    # the live cadence, >=1 loop closure (Sim3 verify + essential-graph
+    # correction + seam fuse) inside the timed window, and the
+    # background GBA chunks it schedules. Wall time includes every
+    # host sync. Reported latency: mean + p50/p95/max per-frame ms
+    # (the reference's constraint is PER-FRAME latency at the 20 fps
+    # dataset rate — 50 ms budget, Examples/Monocular/mono_euroc.cc:
+    # 124-132).
+    #
+    # Sync accounting: a "sync" is one host-BLOCKING fetch event — a
+    # jax.device_get call or a direct array coercion (np.asarray/int/
+    # float/bool) OUTSIDE device_get. Leaf coercions INSIDE device_get
+    # are part of the same event (the r04 counter double-counted
+    # them). The time actually spent blocked is measured, and the
+    # co-located estimate subtracts (blocked - 0.2 ms/event): the
+    # pipelined tracker prefetches its one fetch per frame with
+    # copy_to_host_async, so most "syncs" cost ~0.25 ms even through
+    # the tunnel.
     e2e_wall_fps = None
     e2e_detail = {}
     if args.e2e_frames:
         from tpuslam.system import System
 
         n_e2e = args.e2e_frames
-        poses_e = synthetic.orbit_trajectory(n_e2e, radius=12.0)
-        frames_np = [synthetic.render(world, R, t) for R, t in poses_e]
+        world_ring = synthetic.make_world(
+            n_points=1400, h=h, w=w, fx=458.0, seed=0,
+            extent=(36.0, 36.0, 10.0))
+        poses_e = synthetic.ring_trajectory(n_e2e, arc=2.25 * np.pi)
+        frames_np = [synthetic.render(world_ring, R, t) for R, t in poses_e]
         sysm = System(cfg)
 
-        counter = {"n": 0}
+        counter = {"n": 0, "blocked": 0.0, "in_dg": False}
         orig_dg = jax.device_get
 
         def counting_dg(x):
-            counter["n"] += 1
-            return orig_dg(x)
+            if counter["in_dg"]:
+                return orig_dg(x)
+            counter["in_dg"] = True
+            t0 = time.perf_counter()
+            try:
+                return orig_dg(x)
+            finally:
+                counter["in_dg"] = False
+                counter["n"] += 1
+                counter["blocked"] += time.perf_counter() - t0
 
         jax.device_get = counting_dg
         patched = []
@@ -428,43 +455,63 @@ def main():
 
                     def wrap(orig):
                         def f(self, *a, **k):
-                            counter["n"] += 1
-                            return orig(self, *a, **k)
+                            if counter["in_dg"]:
+                                return orig(self, *a, **k)
+                            t0 = time.perf_counter()
+                            try:
+                                return orig(self, *a, **k)
+                            finally:
+                                counter["n"] += 1
+                                counter["blocked"] += \
+                                    time.perf_counter() - t0
                         return f
                     setattr(ArrayImpl, name, wrap(orig))
                     patched.append((name, orig))
         except Exception:
             ArrayImpl = None
+        per_ms = []
         try:
-            warm = min(16, n_e2e // 3)
+            warm = min(64, n_e2e // 4)
             for i in range(warm):
                 sysm.track_monocular(frames_np[i], timestamp=i / 20.0)
             counter["n"] = 0
+            counter["blocked"] = 0.0
             t0e = time.perf_counter()
             for i in range(warm, n_e2e):
+                t0f = time.perf_counter()
                 sysm.track_monocular(frames_np[i], timestamp=i / 20.0)
+                per_ms.append(1e3 * (time.perf_counter() - t0f))
             e2e_wall = time.perf_counter() - t0e
         finally:
             jax.device_get = orig_dg
             if patched:
                 for name, orig in patched:
                     setattr(ArrayImpl, name, orig)
+        sysm.shutdown()
         n_timed = n_e2e - warm
+        pm = np.asarray(per_ms)
         e2e_ms = 1e3 * e2e_wall / n_timed
         syncs = counter["n"] / n_timed
+        blocked_ms = 1e3 * counter["blocked"] / n_timed
         e2e_wall_fps = 1e3 / e2e_ms
-        # Co-located estimate: subtract the measured per-sync tunnel
-        # round trip (minus a generous 0.2 ms for a real PCIe-attached
-        # host's sync). A MODELED number, labeled as such.
-        adj_ms = max(e2e_ms - syncs * max(dispatch_ms - 0.2, 0.0),
-                     e2e_ms * 0.1)
+        # Co-located estimate: keep everything but the tunnel's share
+        # of the measured blocked time (a PCIe-attached host pays
+        # ~0.2 ms per fetch event). A MODELED number, labeled as such.
+        adj_ms = max(e2e_ms - max(blocked_ms - 0.2 * syncs, 0.0),
+                     e2e_ms * 0.05)
+        st = sysm.tracker.stats
         e2e_detail = {
             "e2e_wall_fps": round(e2e_wall_fps, 2),
             "e2e_wall_ms_per_frame": round(e2e_ms, 2),
-            "e2e_syncs_per_frame": round(syncs, 1),
+            "e2e_p50_ms": round(float(np.percentile(pm, 50)), 2),
+            "e2e_p95_ms": round(float(np.percentile(pm, 95)), 2),
+            "e2e_max_ms": round(float(pm.max()), 2),
+            "e2e_syncs_per_frame": round(syncs, 2),
+            "e2e_blocked_ms_per_frame": round(blocked_ms, 2),
             "e2e_frames": n_timed,
             "e2e_ok": sysm.tracking_state(),
             "e2e_kf": sysm.map_stats()["keyframes"],
+            "e2e_loops_closed": st.get("loops", 0),
             "e2e_wall_fps_colocated_est": round(1e3 / adj_ms, 2),
         }
 

@@ -23,6 +23,8 @@ def main():
     p.add_argument("--warm", type=int, default=24)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--no-pipeline", action="store_true")
+    p.add_argument("--ring", action="store_true",
+                   help="ring-world circuit (the bench e2e fixture)")
     args = p.parse_args()
 
     import os
@@ -42,16 +44,21 @@ def main():
     from tpuslam.system import System
 
     h, w = 480, 752
-    world = synthetic.make_world(n_points=6000, h=h, w=w, fx=458.0,
-                                 seed=0, extent=(16.0, 16.0, 8.0))
+    if args.ring:
+        world = synthetic.make_world(n_points=1400, h=h, w=w, fx=458.0,
+                                     seed=0, extent=(36.0, 36.0, 10.0))
+        poses = synthetic.ring_trajectory(args.frames, arc=2.25 * np.pi)
+    else:
+        world = synthetic.make_world(n_points=6000, h=h, w=w, fx=458.0,
+                                     seed=0, extent=(16.0, 16.0, 8.0))
+        poses = synthetic.orbit_trajectory(args.frames, radius=args.radius,
+                                           arc=args.arc)
     cfg = SLAMConfig(
         camera=CameraConfig(width=w, height=h, fx=458.0, fy=458.0,
                             cx=w / 2.0, cy=h / 2.0),
         orb=ORBConfig(n_features=args.features),
         tracking=TrackingConfig(pipeline=not args.no_pipeline),
     )
-    poses = synthetic.orbit_trajectory(args.frames, radius=args.radius,
-                                       arc=args.arc)
     print("rendering...", flush=True)
     frames = [synthetic.render(world, R, t) for R, t in poses]
     sysm = System(cfg)

@@ -53,6 +53,42 @@ def test_viz_dump_and_plot(tmp_path):
     assert (tmp_path / "map.png").stat().st_size > 1000
 
 
+def test_viz_frame_overlay_and_covis(tmp_path):
+    """FrameDrawer/MapDrawer analogs: tracked-feature overlay render +
+    covisibility-graph export (VERDICT r04 task 6)."""
+    import jax.numpy as jnp
+
+    from tpuslam import viz
+    from tpuslam.mapping import mapstate
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (120, 160)).astype(np.float32)
+    uv = rng.uniform([5, 5], [155, 115], (32, 2)).astype(np.float32)
+    valid = np.ones(32, bool)
+    assoc = np.where(np.arange(32) < 12, np.arange(32), -1)
+    canvas = viz.frame_overlay(img, uv, valid, assoc)
+    assert canvas.shape == (120, 160, 3)
+    # Tracked keypoints leave green box pixels; untracked leave blue.
+    assert (canvas[..., 1] == 220).any() and (canvas[..., 2] == 255).any()
+    viz.save_frame_overlay(tmp_path / "f.png", img, uv, valid, assoc,
+                           state="OK")
+    assert (tmp_path / "f.png").stat().st_size > 1000
+
+    # Covis graph: two KFs observing the same points are connected.
+    ms = mapstate.empty(8, 64, 16)
+    obs = jnp.arange(16, dtype=jnp.int32)
+    ms = ms._replace(
+        mp_valid=ms.mp_valid.at[:16].set(True),
+        kf_valid=ms.kf_valid.at[:2].set(True),
+        kf_kp_valid=ms.kf_kp_valid.at[:2].set(True),
+        kf_obs_mp=ms.kf_obs_mp.at[0].set(obs).at[1].set(obs),
+    )
+    centers, slots, edges, weights = viz.covis_graph(ms, min_weight=15)
+    assert len(slots) == 2 and len(edges) == 1 and weights[0] >= 15
+    viz.plot_covis_graph(ms, tmp_path / "covis.png")
+    assert (tmp_path / "covis.png").stat().st_size > 1000
+
+
 def test_tracker_records_stage_times():
     from tpuslam.config import CameraConfig, ORBConfig, SLAMConfig
     from tpuslam.tracking.tracker import MonoTracker

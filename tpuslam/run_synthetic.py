@@ -29,6 +29,12 @@ def main(argv=None):
                         "(sector views -> real loop-closure geometry)")
     p.add_argument("--log", type=str, default=None,
                    help="write per-frame diagnostics CSV here")
+    p.add_argument("--viz-dir", type=str, default=None,
+                   help="live observability: write tracked-feature "
+                        "overlay frames (FrameDrawer analog) + final "
+                        "map/covisibility-graph renders here")
+    p.add_argument("--viz-every", type=int, default=10,
+                   help="overlay every Nth frame")
     p.add_argument("--cpu", action="store_true",
                    help="force CPU backend (tests/dev)")
     p.add_argument("--quiet", action="store_true")
@@ -63,6 +69,10 @@ def main(argv=None):
         orb=ORBConfig(n_features=args.features),
     )
     tracker = MonoTracker(cfg)
+    if args.viz_dir:
+        from tpuslam import viz
+        tracker.viz_recorder = viz.VizRecorder(args.viz_dir,
+                                               every=args.viz_every)
 
     t_render = 0.0
     t_track = 0.0
@@ -98,6 +108,10 @@ def main(argv=None):
             f.write("\n".join(log_rows) + "\n")
 
     est = tracker.positions()
+    if args.viz_dir:
+        tracker.viz_recorder.finish(tracker.ms, tracker.packed_trajectory())
+        print(f"viz: {tracker.viz_recorder.n_written} overlay frames + "
+              f"map.png + covis_graph.png -> {args.viz_dir}")
     gt = np.stack([-R.T @ t for R, t in poses])
     # Evaluate only frames after initialization succeeded.
     ok_from = next((i for i, p in enumerate(tracker.trajectory)

@@ -767,6 +767,8 @@ class MonoTracker:
         self._world_moved = False
         self._win_count_est = 0       # window landmark-count estimate
         self._superstep_busy = False
+        self.viz_recorder = None      # viz.VizRecorder (FrameDrawer hook)
+        self._viz_img = None
         self.last_R = np.eye(3, dtype=np.float32)
         self.last_t = np.zeros(3, np.float32)
         self.vel_R = np.eye(3, dtype=np.float32)
@@ -1001,7 +1003,8 @@ class MonoTracker:
         self._inflight.append(dict(
             small=small, feats=feats, assoc=assoc, vis_tgt=vis_tgt,
             fnd_tgt=fnd_tgt, stereo=stereo_t, ts=ts, ref=ref,
-            deferred=items))
+            deferred=items,
+            img=(img if self.viz_recorder is not None else None)))
         self._prev_dt = self._cur_dt
         return FrameResult("OK", small[0], small[1], self._last_ninl)
 
@@ -1086,6 +1089,10 @@ class MonoTracker:
             self._create_keyframe(rec["feats"], R, t, rec["assoc"],
                                   n_inl)
             self.last_ts = ts_save
+        if self.viz_recorder is not None:
+            self.viz_recorder.on_frame(
+                len(self.trajectory), rec.get("img"), rec["feats"],
+                rec["assoc"], "OK" + (" KF" if is_kf else ""))
         # Trajectory (the producers at src/Tracking.cc:2274-2296).
         entry = np.concatenate([R.reshape(-1), t])
         self.trajectory.append(entry)

@@ -37,6 +37,175 @@ def dump_map(ms: mapstate.MapState, path, trajectory=None):
     np.savez_compressed(Path(path), **map_snapshot(ms, trajectory))
 
 
+def frame_overlay(img, kp_uv, kp_valid, assoc) -> np.ndarray:
+    """FrameDrawer::Update analog (/root/reference/src/FrameDrawer.cc:
+    33-120): the current frame with detected keypoints and tracked
+    map-point associations drawn in. Tracked keypoints (assoc >= 0) get
+    a green box (the reference draws green rectangles for mvbMap),
+    untracked detections a small blue dot. Returns (H,W,3) uint8."""
+    img = np.asarray(img)
+    h, w = img.shape
+    canvas = np.repeat(np.clip(img, 0, 255).astype(np.uint8)[..., None],
+                       3, axis=-1)
+    uv = np.asarray(kp_uv)
+    valid = np.asarray(kp_valid)
+    a = np.asarray(assoc)
+    green = np.array([40, 220, 40], np.uint8)
+    blue = np.array([80, 120, 255], np.uint8)
+
+    def box(cx, cy, r, color):
+        x0, x1 = max(cx - r, 0), min(cx + r, w - 1)
+        y0, y1 = max(cy - r, 0), min(cy + r, h - 1)
+        canvas[y0, x0:x1 + 1] = color
+        canvas[y1, x0:x1 + 1] = color
+        canvas[y0:y1 + 1, x0] = color
+        canvas[y0:y1 + 1, x1] = color
+
+    for i in np.nonzero(valid)[0]:
+        cx, cy = int(round(uv[i, 0])), int(round(uv[i, 1]))
+        if not (0 <= cx < w and 0 <= cy < h):
+            continue
+        if a[i] >= 0:
+            box(cx, cy, 4, green)
+        else:
+            canvas[max(cy - 1, 0):cy + 2, max(cx - 1, 0):cx + 2] = blue
+    return canvas
+
+
+def save_frame_overlay(path, img, kp_uv, kp_valid, assoc,
+                       state: str = "", n_tracked: int = None):
+    """Write one overlay frame as PNG with the FrameDrawer status line."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    canvas = frame_overlay(img, kp_uv, kp_valid, assoc)
+    if n_tracked is None:
+        n_tracked = int((np.asarray(assoc) >= 0).sum())
+    fig, ax = plt.subplots(
+        figsize=(canvas.shape[1] / 100, canvas.shape[0] / 100), dpi=100)
+    ax.imshow(canvas)
+    ax.set_axis_off()
+    ax.text(6, canvas.shape[0] - 10,
+            f"{state}  matches: {n_tracked}", color="yellow", fontsize=9,
+            family="monospace")
+    fig.subplots_adjust(0, 0, 1, 1)
+    fig.savefig(Path(path))
+    plt.close(fig)
+
+
+def _plane_basis(snap: dict) -> np.ndarray:
+    """(2,3) projection basis for 'top-down' renders. The monocular
+    world frame is the FIRST CAMERA's frame (gauge freedom), so world
+    x-y is generally not the motion plane; project onto the two
+    principal axes of the trajectory (falling back to the map cloud)."""
+    pts = snap.get("traj")
+    if pts is None or len(pts) < 8:
+        pts = snap.get("mp_pos")
+    if pts is None or len(pts) < 8:
+        return np.eye(3)[:2]
+    c = pts - pts.mean(0)
+    _, _, vt = np.linalg.svd(c, full_matrices=False)
+    return vt[:2]
+
+
+def _robust_limits(ax, pts, pad: float = 0.15):
+    """Clip plot limits to the 2-98 percentile box of `pts` (+pad):
+    a handful of far outlier landmarks otherwise squash the whole
+    render into a sliver."""
+    if len(pts) < 4:
+        return
+    lo = np.percentile(pts[:, :2], 2, axis=0)
+    hi = np.percentile(pts[:, :2], 98, axis=0)
+    span = np.maximum(hi - lo, 1e-3)
+    ax.set_xlim(lo[0] - pad * span[0], hi[0] + pad * span[0])
+    ax.set_ylim(lo[1] - pad * span[1], hi[1] + pad * span[1])
+
+
+def covis_graph(ms: mapstate.MapState, min_weight: int = 15):
+    """Covisibility graph export (MapDrawer::DrawGraph analog,
+    /root/reference/src/MapDrawer.cc): keyframe camera centers + the
+    i<j edges with shared-observation weight >= min_weight. Returns
+    (centers (K,3), slots (K,), edges (E,2) index pairs into centers,
+    weights (E,))."""
+    kf_valid = np.asarray(ms.kf_valid)
+    slots = np.nonzero(kf_valid)[0]
+    R = np.asarray(ms.kf_R)[slots]
+    t = np.asarray(ms.kf_t)[slots]
+    centers = -np.einsum("nji,nj->ni", R, t)
+    W = np.asarray(mapstate.covisibility_matrix(ms))
+    Wl = W[np.ix_(slots, slots)]
+    ei, ej = np.nonzero(np.triu(Wl, 1) >= min_weight)
+    return centers, slots, np.stack([ei, ej], 1) if len(ei) else \
+        np.zeros((0, 2), np.int64), Wl[ei, ej]
+
+
+def plot_covis_graph(ms: mapstate.MapState, path, trajectory=None,
+                     min_weight: int = 15):
+    """Top-down covisibility-graph render: keyframe centers joined by
+    covisibility edges (alpha scaled by weight), over the map cloud."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    centers, slots, edges, weights = covis_graph(ms, min_weight)
+    snap = map_snapshot(ms, trajectory)
+    B = _plane_basis(snap)
+    mp2 = snap["mp_pos"] @ B.T if len(snap["mp_pos"]) else snap["mp_pos"]
+    c2 = centers @ B.T
+    fig, ax = plt.subplots(figsize=(8, 8))
+    if len(mp2):
+        ax.scatter(mp2[:, 0], mp2[:, 1], s=1, c="#cccccc")
+    wmax = float(weights.max()) if len(weights) else 1.0
+    for (i, j), wgt in zip(edges, weights):
+        ax.plot([c2[i, 0], c2[j, 0]], [c2[i, 1], c2[j, 1]], "-",
+                c="tab:green", lw=0.6,
+                alpha=0.25 + 0.75 * float(wgt) / wmax)
+    if len(c2):
+        ax.scatter(c2[:, 0], c2[:, 1], s=18, c="tab:blue",
+                   marker="^", zorder=3)
+    if "traj" in snap:
+        t2 = snap["traj"] @ B.T
+        ax.plot(t2[:, 0], t2[:, 1], "-", c="tab:orange", lw=0.8,
+                alpha=0.8)
+    ax.set_aspect("equal")
+    if len(mp2):
+        _robust_limits(ax, mp2)
+    ax.set_title(f"covisibility graph ({len(centers)} KFs, "
+                 f"{len(edges)} edges >= {min_weight})")
+    fig.savefig(Path(path), dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
+class VizRecorder:
+    """Live-run observability hook: the tracker calls on_frame as each
+    frame retires; every `every`-th frame is written as a tracked-
+    feature overlay PNG (FrameDrawer role). Call finish(ms, trajectory)
+    for the map + covisibility-graph renders (MapDrawer role)."""
+
+    def __init__(self, out_dir, every: int = 10):
+        self.dir = Path(out_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.every = max(int(every), 1)
+        self.n_written = 0
+
+    def on_frame(self, idx: int, img, feats, assoc, state: str):
+        if img is None or idx % self.every:
+            return
+        save_frame_overlay(
+            self.dir / f"frame_{idx:05d}.png", img,
+            np.asarray(feats.uv), np.asarray(feats.valid),
+            np.asarray(assoc), state=f"#{idx} {state}")
+        self.n_written += 1
+
+    def finish(self, ms: mapstate.MapState, trajectory=None):
+        plot_map(ms, self.dir / "map.png", trajectory)
+        plot_covis_graph(ms, self.dir / "covis_graph.png", trajectory)
+        dump_map(ms, self.dir / "map.npz", trajectory)
+
+
 def plot_map(ms: mapstate.MapState, path, trajectory=None):
     """Top-down map plot (landmarks, keyframe centers, trajectory)."""
     import matplotlib
@@ -45,18 +214,24 @@ def plot_map(ms: mapstate.MapState, path, trajectory=None):
     import matplotlib.pyplot as plt
 
     snap = map_snapshot(ms, trajectory)
+    B = _plane_basis(snap)
+    mp2 = snap["mp_pos"] @ B.T if len(snap["mp_pos"]) else snap["mp_pos"]
     fig, ax = plt.subplots(figsize=(8, 8))
-    if len(snap["mp_pos"]):
-        ax.scatter(snap["mp_pos"][:, 0], snap["mp_pos"][:, 1], s=2,
+    if len(mp2):
+        ax.scatter(mp2[:, 0], mp2[:, 1], s=2,
                    c="#888888", label="map points")
     if len(snap["kf_t"]):
         centers = -np.einsum("nji,nj->ni", snap["kf_R"], snap["kf_t"])
-        ax.scatter(centers[:, 0], centers[:, 1], s=25, c="tab:blue",
+        c2 = centers @ B.T
+        ax.scatter(c2[:, 0], c2[:, 1], s=25, c="tab:blue",
                    marker="^", label="keyframes")
     if "traj" in snap:
-        ax.plot(snap["traj"][:, 0], snap["traj"][:, 1], "-",
+        t2 = snap["traj"] @ B.T
+        ax.plot(t2[:, 0], t2[:, 1], "-",
                 c="tab:orange", lw=1, label="trajectory")
     ax.set_aspect("equal")
+    if len(mp2):
+        _robust_limits(ax, mp2)
     ax.legend(loc="best")
     ax.set_title("tpuslam map (top-down)")
     fig.savefig(Path(path), dpi=120, bbox_inches="tight")
