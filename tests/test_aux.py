@@ -89,6 +89,37 @@ def test_viz_frame_overlay_and_covis(tmp_path):
     assert (tmp_path / "covis.png").stat().st_size > 1000
 
 
+def test_keyframe_pool_growth():
+    """A full keyframe pool doubles (up to max_keyframes_cap) instead of
+    silently refusing keyframes — the retrieval index grows with it and
+    tracking continues across the growth (VERDICT r04 task 8)."""
+    from tpuslam.config import (CameraConfig, MapConfig, ORBConfig,
+                                SLAMConfig)
+    from tpuslam.tracking.tracker import MonoTracker
+
+    h, w = 480, 640
+    world = synthetic.make_world(n_points=1400, h=h, w=w, seed=0,
+                                 extent=(36.0, 36.0, 10.0))
+    poses = synthetic.ring_trajectory(150, arc=0.7 * np.pi)
+    cfg = SLAMConfig(
+        camera=CameraConfig(width=w, height=h, fx=float(world.cam[0]),
+                            fy=float(world.cam[1]), cx=float(world.cam[2]),
+                            cy=float(world.cam[3])),
+        orb=ORBConfig(n_features=512),
+        map=MapConfig(max_keyframes=16, max_keyframes_cap=64),
+    )
+    tr = MonoTracker(cfg)
+    states = []
+    for R, t in poses:
+        states.append(tr.process(synthetic.render(world, R, t)).state)
+    tr.flush()
+    assert tr.ms.kf_capacity > 16, "pool never grew"
+    assert tr.loop.db.bits.shape[0] == tr.ms.kf_capacity
+    assert len(tr.kf_slots) > 16
+    n_ok = sum(s == "OK" for s in states)
+    assert n_ok >= len(poses) - 15, f"{n_ok}/{len(poses)} OK"
+
+
 def test_tracker_records_stage_times():
     from tpuslam.config import CameraConfig, ORBConfig, SLAMConfig
     from tpuslam.tracking.tracker import MonoTracker

@@ -89,7 +89,10 @@ def test_relocalization_after_blackout():
         pre_centers[i] = -out.R.T @ out.t
     assert tracker.state == "OK"
     blank = np.full((h, w), 60.0, np.float32)
-    for _ in range(3):
+    # Loss discovery is pipeline_depth frames latent (the fetch of a
+    # frame's inlier count is deferred while later frames dispatch) —
+    # feed enough blanks for two consecutive misses to RETIRE.
+    for _ in range(3 + tracker.cfg.tracking.pipeline_depth):
         out = tracker.process(blank)
     assert tracker.state == "LOST"
     # Re-show a view close to an earlier one: must relocalize.

@@ -145,7 +145,13 @@ class MapConfig:
     """Fixed capacities of the SoA map pools (replace the KeyFrame/MapPoint
     pointer graph, /root/reference/include/KeyFrame.h, MapPoint.h)."""
 
-    max_keyframes: int = 512
+    max_keyframes: int = 512        # INITIAL keyframe-pool capacity;
+                                    # pools double on demand up to
+                                    # max_keyframes_cap (the reference
+                                    # has no bound at all — multi-
+                                    # session EuRoC reaches thousands,
+                                    # RUN/euroc_eval_examples.sh:15)
+    max_keyframes_cap: int = 4096   # hard ceiling of pool growth
     max_points: int = 32768
     local_window: int = 16          # KFs in the local-BA first ring (ref covisible set)
     local_fixed: int = 8            # fixed anchor KFs (second ring; 6 was
@@ -182,6 +188,19 @@ class TrackingConfig:
                                     # SURVEY 7.0 "image-in / pose-out"
                                     # production path). False = fetch
                                     # within the frame (legacy/sync).
+    pipeline_depth: int = 2         # frames in flight before the host
+                                    # reads one back. Measured device
+                                    # time per frame is ~2 ms; through
+                                    # a network-attached chip each
+                                    # dispatch->result chain costs a
+                                    # ~28 ms round trip, so depth 2
+                                    # hides a full extra round trip.
+                                    # The host state machine (keyframe
+                                    # decision, loss handling) runs
+                                    # `depth` frames latent — the
+                                    # reference's mapping/loop threads
+                                    # have the same order of latency
+                                    # through their keyframe queues.
     time_recently_lost: float = 5.0  # IMU dead-reckoning grace period (s)
                                      # (Tracking ctor, src/Tracking.cc:1800)
     kf_ref_ratio: float = 0.9       # insert KF if tracked < ratio * ref KF's

@@ -103,6 +103,39 @@ def empty(max_kf: int, max_mp: int, n_feat: int, dtype=jnp.float32) -> MapState:
     )
 
 
+def grow_keyframes(ms: MapState, new_cap: int) -> MapState:
+    """Double-class capacity growth of the KEYFRAME pools (the
+    reference has no pool bound at all — KeyFrames are heap objects,
+    and multi-session EuRoC runs reach thousands,
+    /root/reference/RUN/euroc_eval_examples.sh:15). Point pools are
+    unchanged; slot ids keep their meaning, so in-flight frames and
+    cached windows stay valid (shape change does force the O(log)
+    recompiles of kf-shaped programs)."""
+    K = ms.kf_capacity
+    if new_cap <= K:
+        return ms
+    pad = new_cap - K
+
+    def grow(x, fill):
+        widths = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    eye_pad = jnp.tile(jnp.eye(3, dtype=ms.kf_R.dtype), (pad, 1, 1))
+    return ms._replace(
+        kf_R=jnp.concatenate([ms.kf_R, eye_pad]),
+        kf_t=grow(ms.kf_t, 0.0),
+        kf_valid=grow(ms.kf_valid, False),
+        kf_uv=grow(ms.kf_uv, 0.0),
+        kf_level=grow(ms.kf_level, 0),
+        kf_desc=grow(ms.kf_desc, 0),
+        kf_kp_valid=grow(ms.kf_kp_valid, False),
+        kf_response=grow(ms.kf_response, 0.0),
+        kf_obs_mp=grow(ms.kf_obs_mp, -1),
+        kf_ur=grow(ms.kf_ur, -1.0),
+        kf_uvr=grow(ms.kf_uvr, -1.0),
+    )
+
+
 @jax.jit
 def add_keyframe(ms: MapState, slot, R, t, feats: FrameFeatures, assoc,
                  ur=None, uvr=None):

@@ -65,6 +65,23 @@ def empty_db(max_kf: int, s: int = DB_DESC) -> RetrievalDB:
     )
 
 
+def grow_db(db: RetrievalDB, new_cap: int) -> RetrievalDB:
+    """Lazily grow the index with the keyframe pools
+    (mapstate.grow_keyframes): the bit cache is the dominant per-map
+    HBM cost (~131 KB/KF), so it only ever holds what the session has
+    actually reached."""
+    K = db.bits.shape[0]
+    if new_cap <= K:
+        return db
+    pad = new_cap - K
+    return RetrievalDB(
+        kf_valid=jnp.pad(db.kf_valid, (0, pad)),
+        bits=jnp.pad(db.bits, ((0, pad), (0, 0), (0, 0))),
+        nbits=jnp.pad(db.nbits, ((0, pad), (0, 0))),
+        valid=jnp.pad(db.valid, ((0, pad), (0, 0))),
+    )
+
+
 @jax.jit
 def mark_keyframe(db: RetrievalDB, slot, desc, kp_valid,
                   response) -> RetrievalDB:

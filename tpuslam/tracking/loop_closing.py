@@ -294,6 +294,32 @@ def _kf_point_pairs(ms_a: mapstate.MapState, slot_a: int, slot_b: int,
     return Xa_c, Xb_c, uv_a, uv_b, valid
 
 
+def verify_loop_device(ms: mapstate.MapState, cur: int, cand: int,
+                       cam_params, key, min_inliers: int = 20,
+                       ms_cand: mapstate.MapState = None):
+    """Sim3 verification as ONE device dispatch with NO host branching:
+    returns (ok, s, R, t, n_inl) as device values so the tracker can
+    defer the fetch (the LoopClosing-thread latency of the reference,
+    src/LoopClosing.cc:56 — verification never blocks the frame path).
+    Runs RANSAC and the Sim3 GN refinement unconditionally; the gates
+    fold into the returned `ok`."""
+    Xc, Xl, uv_c, uv_l, valid = _kf_point_pairs(ms, cur, cand,
+                                                ms_b=ms_cand)
+    eye = jnp.eye(3, dtype=jnp.float32)
+    zero = jnp.zeros(3, jnp.float32)
+    ones = jnp.ones(valid.shape[0], jnp.float32)
+    res = sim3.ransac_sim3(
+        Xc, Xl, valid, key, uv_c, uv_l, ones, ones,
+        eye, zero, eye, zero, cam_params, min_inliers=15,
+    )
+    s, R, t, inlier, n = sim3.optimize_sim3(
+        res.s, res.R, res.t, Xc, Xl, res.inlier,
+        uv_c, uv_l, ones, ones, eye, zero, eye, zero, cam_params,
+    )
+    ok = (jnp.sum(valid) >= 12) & res.ok & (n >= min_inliers)
+    return ok, s, R, t, n
+
+
 def verify_loop(ms: mapstate.MapState, cur: int, cand: int, cam_params,
                 key, min_inliers: int = 20,
                 ms_cand: mapstate.MapState = None):
@@ -334,6 +360,7 @@ def correct_loop(
     s_cl, R_cl, t_cl,        # x_cand_cam = S(x_cur_cam)
     fix_scale: bool = False,
     gravity_w=None,          # set => 4-DoF yaw-only graph (inertial map)
+    covm=None,               # prefetched host covisibility matrix
 ):
     """Pose-graph correction (CorrectLoop /root/reference/src/LoopClosing.cc:1210
     + OptimizeEssentialGraph, Optimizer.cc:2385).
@@ -365,8 +392,10 @@ def correct_loop(
             ej.append(slots[d:])
             ew.append(np.full(n_live - d, w, np.float32))
     # Covisibility edges (strong co-observation; dedup i<j, skip pairs
-    # already adjacent in the temporal chain).
-    W_cov = np.asarray(mapstate.covisibility_matrix(ms))
+    # already adjacent in the temporal chain). The pipelined tracker
+    # passes `covm` prefetched (async host copy one frame earlier).
+    W_cov = (np.asarray(covm) if covm is not None
+             else np.asarray(mapstate.covisibility_matrix(ms)))
     order_of = {s: i for i, s in enumerate(kf_slots)}
     ci, cj = np.nonzero(np.triu(W_cov, 1) >= 100)
     keep = np.array([
@@ -394,10 +423,15 @@ def correct_loop(
                                         np.int32)])
     ew = np.concatenate([ew, np.full(len(loop_list), 5.0, np.float32)])
 
-    # Pad the edge arrays to a bucket so recompiles stay rare (E is a
-    # static shape under jit).
+    # Pad the edge arrays to a power-of-two bucket (min 1024) so the
+    # pose-graph program compiles O(log) times AND the persistent
+    # compilation cache hits across runs — the exact edge count varies
+    # run to run, and a fine-grained bucket made every loop correction
+    # a fresh ~40 s XLA compile on the tunnel-attached chip.
     E = len(ei)
-    E_pad = ((E + 255) // 256) * 256
+    E_pad = 1024
+    while E_pad < E:
+        E_pad *= 2
     pad = E_pad - E
     eim = jnp.asarray(np.concatenate([ei, np.zeros(pad, np.int32)]))
     ejm = jnp.asarray(np.concatenate([ej, np.zeros(pad, np.int32)]))

@@ -769,6 +769,7 @@ class MonoTracker:
         self._superstep_busy = False
         self.viz_recorder = None      # viz.VizRecorder (FrameDrawer hook)
         self._viz_img = None
+        self._loop_job = None         # phased loop/merge verify+correct
         self.last_R = np.eye(3, dtype=np.float32)
         self.last_t = np.zeros(3, np.float32)
         self.vel_R = np.eye(3, dtype=np.float32)
@@ -807,9 +808,19 @@ class MonoTracker:
         # plus any keyframe superstep while the host staged this one).
         # Then advance any queued background global-BA by one chunk
         # (the GBA child-thread analog).
-        if self._inflight:
-            self._retire(self._inflight.pop(0))
-        else:
+        depth = max(int(self.cfg.tracking.pipeline_depth), 1)
+        if getattr(self, "_need_compaction", False):
+            while self._inflight:
+                self._retire(self._inflight.pop(0))
+            self._need_compaction = False
+            with self.timer.stage("compaction"):
+                self.ms, n_valid, _ = mapstate.compact_points(self.ms)
+                self.n_mp = int(n_valid)
+                self._invalidate_window()
+        if len(self._inflight) >= depth:
+            while len(self._inflight) >= depth:
+                self._retire(self._inflight.pop(0))
+        elif not self._inflight:
             self._commit_mapping()
         self._gba_step()
         # Timestamp-jump guards (src/Tracking.cc:1584-1629): a backwards
@@ -836,6 +847,12 @@ class MonoTracker:
                 and not self._use_imu and not self.frozen
                 and self.kf_slots):
             return self._dispatch_pipelined(img, img_right, depth, ts)
+        # Leaving the pipelined path (loss/reset/localization): retire
+        # any frames still in flight so the state machine and the
+        # trajectory stay ordered.
+        while self._inflight:
+            self._retire(self._inflight.pop(0))
+        self._commit_mapping()
         self._carry_valid = False
         if imu is not None and self._use_imu:
             with self.timer.stage("imu_preintegration"):
@@ -1245,9 +1262,12 @@ class MonoTracker:
         (stats, loop/merge counters, n_mp) outside the per-frame loop."""
         while self._inflight:
             self._retire(self._inflight.pop(0))
-        self._commit_mapping()
+        while self._deferred:
+            # A drained handler may defer the next phase of a loop/merge
+            # job (verify -> correct) — keep draining until quiescent.
+            self._commit_mapping()
         while getattr(self, "_gba_left", 0):
-            self._gba_step()
+            self._gba_step(force=True)
 
     def packed_trajectory(self) -> list:
         """Per-frame absolute camera poses (12 floats: R|t), relative
@@ -1673,6 +1693,7 @@ class MonoTracker:
         self._superstep_busy = False
         self._pipe_fail = 0
         self._win_count_est = 0
+        self._loop_job = None
         self._invalidate_kf_set()
         if self._use_imu:
             # New map => new (non-metric) scale regime: the old map's
@@ -2413,7 +2434,7 @@ class MonoTracker:
         K = 16
         while K < n:
             K *= 2
-        K = min(K, self.cfg.map.max_keyframes)
+        K = min(K, self.ms.kf_capacity)
         # Host-tracked live-point count bounds the landmark axis — a
         # device count fetch here was one blocking round trip per call.
         cap = 2048
@@ -2787,6 +2808,11 @@ class MonoTracker:
                      # bigger maps go landmark-sharded over ALL live KFs
 
     GBA_CHUNK_ITERS = 3  # LM iterations per background GBA chunk
+    GBA_CHUNK_SPACING = 3  # frames between chunks: a big-map chunk is
+                           # tens-of-ms of device time that would
+                           # otherwise land on consecutive frames'
+                           # latency right after a loop closure
+                           # (p95 criterion, VERDICT r04 task 2)
 
     def run_global_ba(self, iters: int = 12):
         """GlobalBundleAdjustemnt analog (Optimizer.cc:54/62) over ALL
@@ -2847,7 +2873,7 @@ class MonoTracker:
         K = self.GBA_WINDOW
         while K < n:
             K *= 2
-        K = min(K, self.cfg.map.max_keyframes)
+        K = min(K, self.ms.kf_capacity)
         kf_ids = np.full((K,), -1, np.int32)
         kf_ids[:n] = slots
         fixed = np.ones((K,), bool)
@@ -2900,15 +2926,21 @@ class MonoTracker:
         self._gba_left = iters
         self._gba_inertial = inertial
 
-    def _gba_step(self):
+    def _gba_step(self, force: bool = False):
         """Run one background-GBA chunk if one is queued and the mapping
         superstep is idle (a dispatched superstep takes priority — the
-        mbAbortBA rule: tracking/mapping must not wait on GBA)."""
+        mbAbortBA rule: tracking/mapping must not wait on GBA).
+        `force` (flush/shutdown) ignores the pacing cooldown."""
         left = getattr(self, "_gba_left", 0)
         if not left or self.frozen:
             return
-        if getattr(self, "_superstep_busy", False):
-            return
+        if not force:
+            if getattr(self, "_superstep_busy", False):
+                return
+            self._gba_cooldown = getattr(self, "_gba_cooldown", 0) - 1
+            if self._gba_cooldown > 0:
+                return
+            self._gba_cooldown = self.GBA_CHUNK_SPACING
         chunk = min(self.GBA_CHUNK_ITERS, left)
         with self.timer.stage("gba_chunk"):
             if self._gba_inertial:
@@ -2933,7 +2965,7 @@ class MonoTracker:
             # (mbOnlyTracking, src/Tracking.cc:3140).
             return False
         if (not self.free_kf_slots
-                and self.n_kf >= self.cfg.map.max_keyframes):
+                and self.n_kf >= self.cfg.map.max_keyframes_cap):
             return False
         imu = self._use_imu
         # c3: inertial keyframe cadence — force one every 0.5 s so the
@@ -2962,11 +2994,23 @@ class MonoTracker:
 
     def _alloc_kf_slot(self) -> Optional[int]:
         """Keyframe slot allocation with recycling: culled slots return
-        to a free list instead of leaking capacity (the reference deletes
-        KeyFrame objects; fixed pools recycle instead)."""
+        to a free list instead of leaking capacity (the reference
+        deletes KeyFrame objects; fixed pools recycle instead). A full
+        pool DOUBLES up to map.max_keyframes_cap — slot ids stay valid
+        so in-flight frames and the trajectory's keyframe references
+        survive the growth (VERDICT r04 task 8: no silent 512-KF cap)."""
         if self.free_kf_slots:
             return self.free_kf_slots.pop(0)
-        if self.n_kf < self.cfg.map.max_keyframes:
+        cap = self.ms.kf_capacity
+        if self.n_kf >= cap and cap < self.cfg.map.max_keyframes_cap:
+            new_cap = min(cap * 2, self.cfg.map.max_keyframes_cap)
+            with self.timer.stage("kf_pool_growth"):
+                self.ms = mapstate.grow_keyframes(self.ms, new_cap)
+                if self.loop is not None:
+                    self.loop.db = retrieval.grow_db(self.loop.db,
+                                                     new_cap)
+            self._invalidate_kf_set()
+        if self.n_kf < self.ms.kf_capacity:
             s = self.n_kf
             self.n_kf += 1
             return s
@@ -2989,11 +3033,18 @@ class MonoTracker:
         # culled points' slots become reusable tail capacity). n_mp is
         # at most one keyframe stale in async mode; the 0.9 margin
         # covers a full keyframe's worth of spawns.
-        if self.n_mp > int(0.9 * self.cfg.map.max_points):
+        if (self.n_mp > int(0.9 * self.cfg.map.max_points)
+                and not self._inflight):
             with self.timer.stage("compaction"):
                 self.ms, n_valid, _ = mapstate.compact_points(self.ms)
                 self.n_mp = int(n_valid)
                 self._invalidate_window()
+        elif self.n_mp > int(0.9 * self.cfg.map.max_points):
+            # Compaction REMAPS point slots, and frames still in flight
+            # hold pre-compaction assoc indices — request it for the
+            # top of the next process() call, where the pipeline can be
+            # drained safely (no re-entrant retire).
+            self._need_compaction = True
         slot = self._alloc_kf_slot()
         if slot is None:
             return
@@ -3240,8 +3291,14 @@ class MonoTracker:
         self.ref_tracked = max(int(ref), 1)
 
         # Loop closing (LoopClosing::Run per-keyframe logic): gate the
-        # superstep-dispatched detection scalars, then verify/correct
-        # on a confirmed candidate (the rare event pays its syncs).
+        # superstep-dispatched detection scalars; a confirmed candidate
+        # starts a PHASED job — Sim3 verification dispatches now with
+        # its scalars deferred one frame, the essential-graph correction
+        # applies one frame after that (covisibility matrix prefetched
+        # in between). Mirrors the reference's LoopClosing-thread
+        # latency (src/LoopClosing.cc:56): detection/verification/
+        # correction never stall the frame that triggered them
+        # (VERDICT r04 task 7).
         if self.enable_loop_closing:
             cand = None
             if "loop" in vals:
@@ -3250,45 +3307,13 @@ class MonoTracker:
                     cand = loop_closing.loop_decide(
                         self.loop, slot, self.kf_slots, int(c),
                         float(sc), float(base))
-            if cand is not None:
+            if cand is not None and self._loop_job is None:
                 self.key, sub = jax.random.split(self.key)
-                with self.timer.stage("loop_correct"):
-                    ok, s_cl, R_cl, t_cl = loop_closing.verify_loop(
-                        self.ms, slot, cand, self.cam_params, sub)
-                    if ok:
-                        self.ms = loop_closing.correct_loop(
-                            self.loop, self.ms, slot, cand, self.kf_slots,
-                            s_cl, R_cl, t_cl,
-                            # IMU-initialized maps are metric AND
-                            # gravity-aligned: lock scale and bend only
-                            # yaw+translation (the 4-DoF essential
-                            # graph, Optimizer.cc:8520).
-                            fix_scale=self.imu_initialized,
-                            gravity_w=(self.gravity_w
-                                       if self.imu_initialized else None))
-                        # Fuse duplicate landmarks across the seam
-                        # BEFORE global BA (SearchAndFuse,
-                        # LoopClosing.cc:2631): the cross-seam
-                        # observations it creates are what keep GBA
-                        # from pulling the loop ends apart again.
-                        self.ms, _ = loop_closing.seam_fuse(
-                            self.ms, self.kf_slots, slot, cand)
-                        # Post-loop global refinement — queued as
-                        # background chunks (RunGlobalBundleAdjustment
-                        # child thread analog, LoopClosing.cc:1440);
-                        # inertial maps get the FullInertialBA(its=7)
-                        # variant (LoopClosing.cc:2788).
-                        self._schedule_global_ba(
-                            iters=18 if not self.imu_initialized else 7,
-                            inertial=self.imu_initialized)
-                        self._invalidate_window()  # poses+points moved
-                        self.last_R = np.asarray(self.ms.kf_R[slot])
-                        self.last_t = np.asarray(self.ms.kf_t[slot])
-                        self.vel_R = np.eye(3, dtype=np.float32)
-                        self.vel_t = np.zeros(3, np.float32)
-                        self._world_moved = True
-                        self._carry_valid = False
-                        self.n_loops_closed += 1
+                self._loop_job = ("verify", slot, cand)
+                scal = loop_closing.verify_loop_device(
+                    self.ms, slot, cand, self.cam_params, sub)
+                self._defer(scal, functools.partial(
+                    self._loop_verify_done, slot, cand))
             # Cross-map place recognition: the same new keyframe is also
             # scored against every archived map; a stable verified hit
             # triggers the weld (NewDetectCommonRegions' merge branch,
@@ -3299,19 +3324,16 @@ class MonoTracker:
                 with self.timer.stage("merge_detect"):
                     mcand = loop_closing.merge_decide(
                         self.loop, int(bm), int(bs), float(bsc), slot)
-            if mcand is not None:
+            if mcand is not None and self._loop_job is None:
                 mi, mkf = mcand
                 if mi < (self.atlas.n_maps if self.atlas else 0):
                     self.key, sub = jax.random.split(self.key)
-                    with self.timer.stage("merge"):
-                        ok, s_m, R_m, t_m = loop_closing.verify_loop(
-                            self.ms, slot, mkf, self.cam_params, sub,
-                            ms_cand=self.atlas.maps[mi].ms)
-                        if ok and self._merge_maps(mi, mkf, slot,
-                                                   s_m, R_m, t_m):
-                            self._world_moved = True
-                            self._carry_valid = False
-                            self.n_merges += 1
+                    self._loop_job = ("merge_verify", slot, mkf)
+                    scal = loop_closing.verify_loop_device(
+                        self.ms, slot, mkf, self.cam_params, sub,
+                        ms_cand=self.atlas.maps[mi].ms)
+                    self._defer(scal, functools.partial(
+                        self._merge_verify_done, mi, mkf, slot))
 
         if self._use_imu:
             # The keyframe superstep moved poses/points: the next frame
@@ -3322,3 +3344,77 @@ class MonoTracker:
                       "ba_chi2": float(chi2),
                       "loops": self.n_loops_closed,
                       "merges": self.n_merges}
+
+    def _loop_verify_done(self, slot, cand, vals):
+        """Phase 2 of a loop job: gate the deferred Sim3-verification
+        scalars; on success prefetch the covisibility matrix and defer
+        the correction apply one more frame."""
+        ok, s_cl, R_cl, t_cl, _n = vals
+        if (not bool(ok) or slot not in self.kf_slots
+                or cand not in self.kf_slots):
+            self._loop_job = None
+            return
+        self._loop_job = ("correct", slot, cand)
+        covm = mapstate.covisibility_matrix(self.ms)
+        self._defer({"covm": covm}, functools.partial(
+            self._loop_correct_apply, slot, cand, float(s_cl),
+            np.asarray(R_cl, np.float32), np.asarray(t_cl, np.float32)))
+
+    def _loop_correct_apply(self, slot, cand, s_cl, R_cl, t_cl, vals):
+        """Phase 3: essential-graph correction + seam fuse + background
+        GBA scheduling (CorrectLoop, /root/reference/src/LoopClosing.cc:
+        1210). The covisibility matrix arrives prefetched; the only
+        blocking step left is the corrected-pose re-anchor fetch."""
+        self._loop_job = None
+        if slot not in self.kf_slots or cand not in self.kf_slots:
+            return
+        with self.timer.stage("loop_correct"):
+            self.ms = loop_closing.correct_loop(
+                self.loop, self.ms, slot, cand, self.kf_slots,
+                s_cl, R_cl, t_cl,
+                # IMU-initialized maps are metric AND gravity-aligned:
+                # lock scale and bend only yaw+translation (the 4-DoF
+                # essential graph, Optimizer.cc:8520).
+                fix_scale=self.imu_initialized,
+                gravity_w=(self.gravity_w
+                           if self.imu_initialized else None),
+                covm=vals["covm"])
+            # Fuse duplicate landmarks across the seam BEFORE global BA
+            # (SearchAndFuse, LoopClosing.cc:2631): the cross-seam
+            # observations it creates are what keep GBA from pulling
+            # the loop ends apart again.
+            self.ms, _ = loop_closing.seam_fuse(
+                self.ms, self.kf_slots, slot, cand)
+            # Post-loop global refinement — queued as background chunks
+            # (RunGlobalBundleAdjustment child thread analog,
+            # LoopClosing.cc:1440); inertial maps get the
+            # FullInertialBA(its=7) variant (LoopClosing.cc:2788).
+            self._schedule_global_ba(
+                iters=18 if not self.imu_initialized else 7,
+                inertial=self.imu_initialized)
+            self._invalidate_window()  # poses+points moved
+            self.last_R = np.asarray(self.ms.kf_R[slot])
+            self.last_t = np.asarray(self.ms.kf_t[slot])
+            self.vel_R = np.eye(3, dtype=np.float32)
+            self.vel_t = np.zeros(3, np.float32)
+            self._world_moved = True
+            self._carry_valid = False
+            self.n_loops_closed += 1
+            self.stats["loops"] = self.n_loops_closed
+
+    def _merge_verify_done(self, mi, mkf, slot, vals):
+        """Deferred cross-map Sim3 verification scalars -> the weld
+        (MergeLocal, rare; the weld itself runs inline)."""
+        self._loop_job = None
+        ok, s_m, R_m, t_m, _n = vals
+        if (not bool(ok) or slot not in self.kf_slots
+                or mi >= (self.atlas.n_maps if self.atlas else 0)):
+            return
+        with self.timer.stage("merge"):
+            if self._merge_maps(mi, mkf, slot, float(s_m),
+                                np.asarray(R_m, np.float32),
+                                np.asarray(t_m, np.float32)):
+                self._world_moved = True
+                self._carry_valid = False
+                self.n_merges += 1
+                self.stats["merges"] = self.n_merges
