@@ -109,7 +109,7 @@ def main():
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          1.0)
+                          0.0)
     except Exception:
         pass
     import jax.numpy as jnp

@@ -36,7 +36,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.dirname(
                           os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from tpuslam.config import CameraConfig, ORBConfig, SLAMConfig, \
         TrackingConfig
@@ -62,6 +62,9 @@ def main():
     print("rendering...", flush=True)
     frames = [synthetic.render(world, R, t) for R, t in poses]
     sysm = System(cfg)
+    t_pw = time.perf_counter()
+    sysm.tracker.prewarm()
+    print(f"prewarm: {time.perf_counter() - t_pw:.1f} s", flush=True)
 
     counter = {"n": 0}
     orig_dg = jax.device_get

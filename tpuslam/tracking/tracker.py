@@ -36,6 +36,7 @@ from typing import List, NamedTuple, Optional, Tuple
 _GEOM_GATES = not os.environ.get("TPUSLAM_NO_GEOM_GATES")
 _PRED_SCALE = not os.environ.get("TPUSLAM_NO_PREDSCALE")
 _HYGIENE = not os.environ.get("TPUSLAM_NO_HYGIENE")
+_RETIRE_DEBUG = bool(os.environ.get("TPUSLAM_RETIRE_DEBUG"))
 
 import jax
 import jax.numpy as jnp
@@ -279,6 +280,84 @@ def _prefetch(tree):
             leaf.copy_to_host_async()
         except (AttributeError, RuntimeError):
             pass
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _pack_vec_j(_n, *leaves):
+    """Flatten + f32-cast + concatenate a tree's leaves into ONE device
+    vector. On the network-attached chip every fetched LEAF costs its
+    own tunnel RPC (~10 ms measured when the value has not landed yet);
+    packing a whole deferred scalar tree into one leaf makes the
+    deferred fetch one RPC regardless of tree size. f32 is lossless for
+    everything deferred here: poses/scores are f32 already and every
+    integer (slot ids <= 4096, counts <= 32768, covisibility weights)
+    is far below 2**24."""
+    if not leaves:
+        return jnp.zeros((0,), jnp.float32)
+    return jnp.concatenate(
+        [jnp.ravel(l).astype(jnp.float32) for l in leaves])
+
+
+def _wire_u8(img):
+    """Compress a frame for the host->device upload — the float32 wire
+    cost (~1.4 MB, 10-35 ms measured) was the tunnel channel hog that
+    delayed every readback completion queued behind it. uint8 camera
+    frames ship as-is (4x less wire); float renders ship as float16
+    (2x less): f16 keeps sub-integer intensity detail that uint8
+    quantization destroyed — measured 42 lost-tracking frames on the
+    ring fixture with u8, zero with f16. The device program converts
+    back to f32."""
+    a = np.asarray(img)
+    if a.dtype == np.uint8 or os.environ.get("TPUSLAM_WIRE_F32"):
+        return a if a.dtype == np.uint8 else a.astype(np.float32)
+    return a.astype(np.float16)
+
+
+def _poll_fetch(tree, poll_s: float = 0.002, max_wait_s: float = 30.0):
+    """device_get that first POLLS readiness instead of blocking
+    immediately. On the network-attached chip a blocking fetch issued
+    before the value has landed costs ~100 ms (the client's blocking
+    wait is served on a slow path), while is_ready() is a local check
+    and a fetch of landed data is sub-ms — so poll at ms granularity,
+    then fetch. Runs on a fetch-pool worker thread; the sleep also
+    yields the GIL to the dispatching main thread."""
+    import time as _time
+    t0 = _time.monotonic()
+    deadline = t0 + max_wait_s
+    for leaf in jax.tree_util.tree_leaves(tree):
+        while not leaf.is_ready():
+            if _time.monotonic() > deadline:
+                break
+            _time.sleep(poll_s)
+    t1 = _time.monotonic()
+    out = jax.device_get(tree)
+    if _RETIRE_DEBUG:
+        t2 = _time.monotonic()
+        print(f"[fetch] wait={1e3*(t1-t0):.1f} get={1e3*(t2-t1):.1f}",
+              flush=True)
+    return out
+
+
+def _pack_tree(tree):
+    """Returns (device_vec, meta) — meta unpacks the fetched vector."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    leaves = [jnp.asarray(l) for l in leaves]
+    specs = [(l.shape, l.dtype) for l in leaves]
+    vec = _pack_vec_j(len(leaves), *leaves)
+    return vec, (treedef, specs)
+
+
+def _unpack_tree(vec_np, meta):
+    treedef, specs = meta
+    vec_np = np.asarray(vec_np)
+    out, off = [], 0
+    for shape, dtype in specs:
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        v = vec_np[off:off + n]
+        out.append(v.reshape(shape).astype(dtype) if shape
+                   else dtype.type(v[0]))
+        off += n
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 class _FrameCarry(NamedTuple):
@@ -759,7 +838,14 @@ class MonoTracker:
         # Pipelined frame path state (SURVEY 7.0 fused production loop).
         self._fp = None               # built lazily per (sensor, shapes)
         self._inflight = []           # dispatched-not-yet-retired frames
-        self._deferred = []           # (device_tree, handler) FIFO
+        self._deferred = []           # (packed_vec, meta, handler) FIFO
+        # Fetch workers: device_get blocks on tunnel RPCs in C++ (GIL
+        # released), so worker threads overlap a frame's readback with
+        # the host staging the next frame. 2 workers let a keyframe
+        # frame's larger fetch overlap its successor's.
+        from concurrent.futures import ThreadPoolExecutor
+        self._fetch_pool = ThreadPoolExecutor(max_workers=2)
+        self._extra_zero = None       # cached dummy `extra` upload
         self._carry = None            # _FrameCarry on device
         self._carry_valid = False
         self._pipe_fail = 0           # consecutive pipelined misses
@@ -1003,27 +1089,124 @@ class MonoTracker:
         dt_ratio = self._cur_dt / max(self._prev_dt, 1e-6)
         _, _, mp_ids, _ = self._window()
         if self.cfg.sensor == "stereo":
-            extra = jnp.asarray(img_right, jnp.float32)
+            extra = _wire_u8(img_right)
         elif self.cfg.sensor == "rgbd":
+            # Depth keeps float precision on the wire (metric values).
             extra = jnp.asarray(depth, jnp.float32)
         else:
-            extra = jnp.zeros((1, 1), jnp.float32)
+            if self._extra_zero is None:
+                self._extra_zero = jnp.zeros((1, 1), jnp.uint8)
+            extra = self._extra_zero
         ref = self.kf_slots[-1]
+        aux = np.array([dt_ratio, ref], np.float32)
         with self.timer.stage("frame_dispatch"):
             (carry2, small, feats, assoc, vis_tgt, fnd_tgt,
              stereo_t) = self._fp(
-                jnp.asarray(img, jnp.float32), extra, self._carry,
-                self.ms, mp_ids, jnp.float32(dt_ratio), jnp.int32(ref))
-        self._carry = carry2
+                _wire_u8(img), extra, self._carry,
+                self.ms, mp_ids, aux)
         _prefetch(small)
+        self._carry = carry2
         items, self._deferred = self._deferred, []
+        # Overlapped fetch: a worker thread blocks on the tunnel RPCs
+        # for this frame's packed scalars (and any deferred superstep
+        # vectors) while the host stages the next frame — _retire then
+        # reads a completed future instead of paying the round trip
+        # inline. Two workers let a keyframe frame's fetch overlap the
+        # next frame's (the RPCs run concurrently on the wire).
+        fut = self._fetch_pool.submit(
+            _poll_fetch, (small, [v for v, _, _ in items]))
         self._inflight.append(dict(
             small=small, feats=feats, assoc=assoc, vis_tgt=vis_tgt,
             fnd_tgt=fnd_tgt, stereo=stereo_t, ts=ts, ref=ref,
-            deferred=items,
+            deferred=items, fut=fut,
             img=(img if self.viz_recorder is not None else None)))
         self._prev_dt = self._cur_dt
-        return FrameResult("OK", small[0], small[1], self._last_ninl)
+        # Pose fields: slicing the device vector here would cost 2 eager
+        # dispatches = 2 tunnel RPCs per frame, so return the constant-
+        # velocity PREDICTION of this frame's pose from the last retired
+        # one (in-flight frames bridged by composing the motion model).
+        # Production consumers read the trajectory, which logs the exact
+        # retired poses.
+        Rp, tp = self.last_R, self.last_t
+        for _ in range(len(self._inflight)):
+            tp = self.vel_R @ tp + self.vel_t
+            Rp = self.vel_R @ Rp
+        return FrameResult("OK", Rp.astype(np.float32),
+                           tp.astype(np.float32), self._last_ninl)
+
+    def prewarm(self):
+        """Pre-TRACE every landmark-bucket variant of the per-frame and
+        superstep programs. XLA binaries persist across processes
+        (jax_compilation_cache_dir), but jaxpr TRACING is per-process:
+        the first keyframe whose window occupancy crosses a pow2 bucket
+        otherwise pays 2-6 s of host tracing IN the frame path (measured
+        as the only remaining latency spikes in the warm ring probe —
+        zero persistent-cache misses, frames 54/73 still 2-6 s). Call
+        once after initialization; production drivers do (run_synthetic
+        --prewarm, bench e2e before its timed window). The reference
+        pays its analogous startup cost loading the ORB vocabulary
+        (/root/reference/Examples/Monocular/mono_euroc.cc:58)."""
+        if not self.kf_slots or self._fp is None:
+            self._fp = self._build_frame_program()
+        mcfg = self.cfg.map
+        W = mcfg.local_window + mcfg.local_fixed
+        h, w = self.cfg.camera.height, self.cfg.camera.width
+        kf_ids = jnp.full((W,), -1, jnp.int32)
+        fixed = jnp.ones((W,), bool)
+        carry = _FrameCarry(
+            R=jnp.eye(3, dtype=jnp.float32), t=jnp.zeros(3, jnp.float32),
+            vel_R=jnp.eye(3, dtype=jnp.float32),
+            vel_t=jnp.zeros(3, jnp.float32))
+        img = jnp.zeros((h, w), jnp.float16)
+        if self.cfg.sensor == "stereo":
+            extra = img
+        elif self.cfg.sensor == "rgbd":
+            extra = jnp.zeros((h, w), jnp.float32)
+        else:
+            extra = jnp.zeros((1, 1), jnp.uint8)
+        aux = np.array([1.0, 0.0], np.float32)
+        last = None
+        cap = 512
+        while True:
+            mp_ids, local = mapstate.local_point_ids(self.ms, kf_ids,
+                                                     cap=cap)
+            last = self._fp(img, extra, carry, self.ms, mp_ids, aux)[0]
+            near_pos = self.ms.mp_pos[jnp.clip(mp_ids, 0,
+                                               self.ms.mp_capacity - 1)]
+            near_ok = jnp.zeros((cap,), bool)
+            _ms, _n = _triangulate_between(
+                self.ms, 0, 1, jnp.int32(0), self.cam_params,
+                self.sigma2_lut, near_pos, near_ok,
+                focal=float(self.cfg.camera.fx), model=self.model)
+            _ms = _fuse_into_kf(
+                self.ms, 0, mp_ids, self.cam_params, self.scale_lut,
+                self.inv_sigma2_lut, self.img_wh,
+                level_widen=self._use_imu, model=self.model)
+            _ms, _chi2 = _run_local_ba(
+                self.ms, kf_ids, fixed, mp_ids, local,
+                self.inv_sigma2_lut, self.cam_params,
+                iters=self.cfg.solver.ba_warm_iters, model=self.model,
+                stereo=self._ba_stereo, bf=jnp.float32(self.cfg.camera.bf),
+                n_free=mcfg.local_window,
+                trust_region=self.cfg.solver.ba_warm_trust_region,
+                fisheye=self._fisheye_stereo, rig=self._rig)
+            if _HYGIENE:
+                _ms = mapstate.refresh_point_hygiene(
+                    self.ms, kf_ids, mp_ids, local, self.scale_lut)
+            if cap >= mcfg.ba_point_cap:
+                break
+            cap *= 2
+        # Loop-closing device halves: detection fires mid-sequence (the
+        # min_gap-th keyframe) and Sim3 verification at the first loop
+        # event — both sizable traces that would otherwise land inside
+        # a frame's budget.
+        if self.enable_loop_closing and self.loop is not None:
+            mask = jnp.zeros((self.ms.kf_capacity,), bool)
+            _ = loop_closing.detect_loop_device(
+                self.loop.db, self.ms, jnp.int32(0), mask)
+            _ = loop_closing.verify_loop_device(
+                self.ms, 0, 1, self.cam_params, jax.random.PRNGKey(0))
+        jax.block_until_ready(last)
 
     def _retire(self, rec):
         """Host half of a pipelined frame, one frame later: ONE
@@ -1032,22 +1215,20 @@ class MonoTracker:
         keyframe decision + creation, trajectory bookkeeping."""
         tcfg = self.cfg.tracking
         with self.timer.stage("retire_fetch"):
-            small, dvals = jax.device_get(
-                (rec["small"], [t for t, _ in rec["deferred"]]))
+            small, dvals = rec["fut"].result()
         # Handlers first (superstep cull/ref/loop + world corrections):
         # mirrors the sync ordering where _commit_mapping runs at frame
         # start before any tracking decision.
         self._world_moved = False
-        for (_, h), v in zip(rec["deferred"], dvals):
-            h(v)
+        for (_vec, meta, h), v in zip(rec["deferred"], dvals):
+            h(_unpack_tree(v, meta))
+        sv = np.asarray(small, np.float32)
         if self._use_depth:
-            R, t, n_inl, refR, reft, n_trk, n_untrk = small
-            self._need_close = int(n_trk) < 100 and int(n_untrk) > 70
-        else:
-            R, t, n_inl, refR, reft = small
-        R = np.asarray(R, np.float32)
-        t = np.asarray(t, np.float32)
-        n_inl = int(n_inl)
+            self._need_close = int(sv[25]) < 100 and int(sv[26]) > 70
+        R = sv[:9].reshape(3, 3).copy()
+        t = sv[9:12].copy()
+        refR, reft = sv[13:22].reshape(3, 3), sv[22:25]
+        n_inl = int(sv[12])
         self._last_ninl = n_inl
         if not self.frozen:
             vis, fnd = _bump_stats(self.ms.mp_visible, self.ms.mp_found,
@@ -1164,7 +1345,17 @@ class MonoTracker:
         lap_l = getattr(self, "lapping_l", None)
         lap_r = getattr(self, "lapping_r", None)
 
-        def fp(img, extra, carry, ms, mp_ids, dt_ratio, ref_slot):
+        def fp(img, extra, carry, ms, mp_ids, aux):
+            # aux packs the per-frame host scalars (dt_ratio, ref_slot)
+            # into one tiny upload; img arrives as uint8 — the tunnel
+            # wire cost of a float32 frame (~1.4 MB, 10-35 ms measured)
+            # was the channel hog that delayed every completion behind
+            # it (the per-frame readback rides the same ordered stream).
+            dt_ratio = aux[0]
+            ref_slot = aux[1].astype(jnp.int32)
+            img = img.astype(jnp.float32)
+            if sensor == "stereo":
+                extra = extra.astype(jnp.float32)
             feats = extractor.extract(img, orb_cfg)
             if dist is not None:
                 feats = feats._replace(uv=_undistort_uv(
@@ -1236,23 +1427,35 @@ class MonoTracker:
             vis_tgt = jnp.where(ok & (visible_ids >= 0), visible_ids, cap)
             fnd_tgt = jnp.where(ok & (found_ids >= 0), found_ids, cap)
             rs = jnp.clip(ref_slot, 0, ms.kf_capacity - 1)
-            small = (R, t, n_inl, ms.kf_R[rs], ms.kf_t[rs])
+            # ONE packed f32 vector instead of a scalar tuple: each
+            # fetched leaf costs its own tunnel RPC (~10 ms measured
+            # when not yet landed), so the per-frame host readback is a
+            # single leaf. Layout: R[0:9] t[9:12] n_inl[12] refR[13:22]
+            # reft[22:25] (+ close-point counts [25:27] for depth
+            # sensors).
+            parts = [R.reshape(-1), t, n_inl.astype(jnp.float32)[None],
+                     ms.kf_R[rs].reshape(-1), ms.kf_t[rs]]
             if use_depth:
                 sm = stereo_t[0]
                 close = sm.valid & (sm.depth < depth_th)
                 tracked = assoc >= 0
-                small = small + (jnp.sum(close & tracked),
-                                 jnp.sum(close & ~tracked))
+                parts.append(jnp.stack(
+                    [jnp.sum(close & tracked).astype(jnp.float32),
+                     jnp.sum(close & ~tracked).astype(jnp.float32)]))
+            small = jnp.concatenate(parts)
             return carry2, small, feats, assoc, vis_tgt, fnd_tgt, stereo_t
 
         return jax.jit(fp)
 
     def _defer(self, tree, handler):
-        """Queue device scalars for a deferred host fetch: the async
-        host copy starts now; the values land in a handler at the next
-        frame's retire (pipelined) or the next _commit_mapping (sync)."""
-        _prefetch(tree)
-        self._deferred.append((tree, handler))
+        """Queue device scalars for a deferred host fetch: the tree is
+        packed into ONE device vector (one tunnel RPC at fetch time)
+        and its async host copy starts now; the values land in the
+        handler at the next frame's retire (pipelined) or the next
+        _commit_mapping (sync)."""
+        vec, meta = _pack_tree(tree)
+        _prefetch(vec)
+        self._deferred.append((vec, meta, handler))
 
     def flush(self):
         """Retire any in-flight pipelined frame, commit any pending
@@ -1377,6 +1580,7 @@ class MonoTracker:
         self.n_mp = int(n_new)
         self.n_kf = 2
         self.kf_slots = [0, 1]
+        self._covis_host = None
         self.kf_ts[0] = getattr(self, "_init_ts", None)
         self.kf_ts[1] = self.last_ts
 
@@ -1619,6 +1823,7 @@ class MonoTracker:
             xc=self._cur_stereo_xc)
         self.n_mp += int(n_new)
         self.kf_slots = [slot]
+        self._covis_host = None
         self.kf_ts[slot] = self.last_ts
         self.last_R = np.eye(3, dtype=np.float32)
         self.last_t = np.zeros(3, np.float32)
@@ -1684,6 +1889,7 @@ class MonoTracker:
         self.n_kf = 0
         self.n_mp = 0
         self.kf_slots = []
+        self._covis_host = None
         self.free_kf_slots = []
         self.kf_ts = {}
         # Pipeline state dies with the map.
@@ -1750,6 +1956,9 @@ class MonoTracker:
         if plan is None:
             return False
         kf_map, mp_map, kf_remap = plan
+        # Slot ids are remapped below: any deferred covisibility
+        # snapshot keyed by an old id would alias a different keyframe.
+        self._covis_host = None
         ms = mg.weld(ms_dst, ms_src, jnp.asarray(kf_map),
                      jnp.asarray(mp_map), jnp.float32(w.s),
                      jnp.asarray(w.R), jnp.asarray(w.t))
@@ -1920,7 +2129,25 @@ class MonoTracker:
             return chosen, free_set
 
         ref = slots[-1]
-        wts = np.asarray(mapstate.covisibility_weights(self.ms, ref))
+        # Covisibility ranking weights: prefer the snapshot the previous
+        # superstep dispatched + deferred-fetched (landed ~free), over a
+        # blocking fetch-after-dispatch here — measured 80-160 ms on the
+        # network-attached chip (the tunnel serves a fresh dependent
+        # fetch far slower than an async-copied one). The snapshot is
+        # one keyframe stale (ranked from the PREVIOUS reference's
+        # perspective) which only perturbs the covisibility RANKING —
+        # the free seeds below pin the temporal window regardless, and
+        # the reference's local-map selection tolerates exactly this
+        # kind of staleness across its thread queues
+        # (UpdateLocalKeyFrames, /root/reference/src/Tracking.cc:3590).
+        snap = getattr(self, "_covis_host", None)
+        if snap is not None and snap[0] in pos:
+            cw = snap[1]
+            wts = np.zeros((max(s for s in slots) + 1,), np.int32)
+            m = min(len(cw), len(wts))
+            wts[:m] = cw[:m]
+        else:
+            wts = np.asarray(mapstate.covisibility_weights(self.ms, ref))
         # Free set: the reference KF, its 2 temporal predecessors (the
         # triangulation partners), then covisibility-ranked.
         free_set = {ref, slots[-2], slots[-3]}
@@ -3196,6 +3423,11 @@ class MonoTracker:
             # per-stage count fetch, see _window).
             "win_count": mapstate.count_window_points(
                 self.ms, self._window()[0]),
+            # Covisibility weights of THIS keyframe (post-triangulate/
+            # fuse/BA/cull): the next superstep's window selection ranks
+            # with this deferred snapshot instead of a blocking
+            # fetch-after-dispatch (see _window_slots).
+            "covis": mapstate.covisibility_weights(self.ms, slot),
         }
         # Place recognition for the new keyframe: the DEVICE halves
         # (retrieval scoring + covisibility-group accumulation; merge
@@ -3206,13 +3438,15 @@ class MonoTracker:
         # reference runs it in the LoopClosing thread
         # (/root/reference/src/LoopClosing.cc:56).
         if self.enable_loop_closing and not self.frozen:
-            with self.timer.stage("loop_detect"):
+            with self.timer.stage("loop_mark"):
                 loop_closing.on_new_keyframe(self.loop, self.ms, slot)
+            with self.timer.stage("loop_detect"):
                 mask = loop_closing.loop_excl_mask(
                     self.loop, slot, self.kf_slots, self.ms.kf_capacity)
                 if mask is not None:
                     pend["loop"] = loop_closing.detect_loop_device(
-                        self.loop.db, self.ms, slot, jnp.asarray(mask))
+                        self.loop.db, self.ms, jnp.int32(slot),
+                        jnp.asarray(mask))
             if self.atlas is not None and self.atlas.n_maps:
                 with self.timer.stage("merge_detect"):
                     pend["merge"] = loop_closing.merge_scores_device(
@@ -3236,9 +3470,9 @@ class MonoTracker:
         if not self._deferred:
             return
         items, self._deferred = self._deferred, []
-        vals = jax.device_get([t for t, _ in items])
-        for (_, h), v in zip(items, vals):
-            h(v)
+        vals = jax.device_get([v for v, _, _ in items])
+        for (_vec, meta, h), v in zip(items, vals):
+            h(_unpack_tree(v, meta))
 
     def _commit_superstep(self, slot, cull_cand, vals):
         """Host-decision half of LocalMapping::Run + LoopClosing::Run,
@@ -3289,6 +3523,7 @@ class MonoTracker:
         # -> ... -> 25) until the tracker runs at the 15-inlier cliff
         # and one bad frame kills it.
         self.ref_tracked = max(int(ref), 1)
+        self._covis_host = (slot, np.asarray(vals["covis"]))
 
         # Loop closing (LoopClosing::Run per-keyframe logic): gate the
         # superstep-dispatched detection scalars; a confirmed candidate
@@ -3303,7 +3538,7 @@ class MonoTracker:
             cand = None
             if "loop" in vals:
                 c, sc, base = vals["loop"]
-                with self.timer.stage("loop_detect"):
+                with self.timer.stage("loop_decide"):
                     cand = loop_closing.loop_decide(
                         self.loop, slot, self.kf_slots, int(c),
                         float(sc), float(base))
