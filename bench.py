@@ -428,12 +428,25 @@ def main():
         poses_e = synthetic.ring_trajectory(n_e2e, arc=2.25 * np.pi)
         frames_np = [synthetic.render(world_ring, R, t) for R, t in poses_e]
         sysm = System(cfg)
+        # Pre-trace every bucket variant of the fused frame/superstep
+        # programs (tracker.prewarm docstring): jaxpr tracing is
+        # per-process and otherwise lands 2-8 s spikes inside frame
+        # budgets; XLA binaries come from the persistent cache.
+        t_pw = time.perf_counter()
+        sysm.tracker.prewarm()
+        prewarm_s = time.perf_counter() - t_pw
 
+        import threading
+        main_tid = threading.get_ident()
         counter = {"n": 0, "blocked": 0.0, "in_dg": False}
         orig_dg = jax.device_get
 
         def counting_dg(x):
-            if counter["in_dg"]:
+            # Fetches issued by the tracker's fetch-pool workers block
+            # a WORKER thread, not the frame loop — only main-thread
+            # events are frame-path syncs (the retire wait on the
+            # worker's future is measured separately by the tracker).
+            if counter["in_dg"] or threading.get_ident() != main_tid:
                 return orig_dg(x)
             counter["in_dg"] = True
             t0 = time.perf_counter()
@@ -455,7 +468,8 @@ def main():
 
                     def wrap(orig):
                         def f(self, *a, **k):
-                            if counter["in_dg"]:
+                            if (counter["in_dg"]
+                                    or threading.get_ident() != main_tid):
                                 return orig(self, *a, **k)
                             t0 = time.perf_counter()
                             try:
@@ -476,6 +490,7 @@ def main():
                 sysm.track_monocular(frames_np[i], timestamp=i / 20.0)
             counter["n"] = 0
             counter["blocked"] = 0.0
+            n_rw_warm = len(sysm.tracker.retire_wait_ms)
             t0e = time.perf_counter()
             for i in range(warm, n_e2e):
                 t0f = time.perf_counter()
@@ -487,12 +502,19 @@ def main():
             if patched:
                 for name, orig in patched:
                     setattr(ArrayImpl, name, orig)
+        rw = np.asarray(
+            sysm.tracker.retire_wait_ms[n_rw_warm:], np.float64)
         sysm.shutdown()
         n_timed = n_e2e - warm
         pm = np.asarray(per_ms)
         e2e_ms = 1e3 * e2e_wall / n_timed
-        syncs = counter["n"] / n_timed
-        blocked_ms = 1e3 * counter["blocked"] / n_timed
+        # Main-thread blocking per frame = direct fetch/coercion events
+        # + the retire wait on the fetch-worker's future. A "sync" is a
+        # blocking event that actually waited (>1 ms).
+        rw_ms = float(rw.sum()) / n_timed if rw.size else 0.0
+        syncs = (counter["n"]
+                 + int((rw > 1.0).sum())) / n_timed
+        blocked_ms = 1e3 * counter["blocked"] / n_timed + rw_ms
         e2e_wall_fps = 1e3 / e2e_ms
         # Co-located estimate: keep everything but the tunnel's share
         # of the measured blocked time (a PCIe-attached host pays
@@ -508,6 +530,8 @@ def main():
             "e2e_max_ms": round(float(pm.max()), 2),
             "e2e_syncs_per_frame": round(syncs, 2),
             "e2e_blocked_ms_per_frame": round(blocked_ms, 2),
+            "e2e_retire_wait_ms": round(rw_ms, 2),
+            "e2e_prewarm_s": round(prewarm_s, 1),
             "e2e_frames": n_timed,
             "e2e_ok": sysm.tracking_state(),
             "e2e_kf": sysm.map_stats()["keyframes"],

@@ -57,7 +57,9 @@ def main():
         camera=CameraConfig(width=w, height=h, fx=458.0, fy=458.0,
                             cx=w / 2.0, cy=h / 2.0),
         orb=ORBConfig(n_features=args.features),
-        tracking=TrackingConfig(pipeline=not args.no_pipeline),
+        tracking=TrackingConfig(
+            pipeline=not args.no_pipeline,
+            pipeline_depth=int(os.environ.get("TPUSLAM_DEPTH", "2"))),
     )
     print("rendering...", flush=True)
     frames = [synthetic.render(world, R, t) for R, t in poses]

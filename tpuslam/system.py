@@ -136,9 +136,14 @@ class System:
     # -- introspection (System.h:176-178) ------------------------------------
 
     def tracking_state(self) -> str:
+        # Summary API: drain in-flight pipelined frames first so the
+        # reported state matches the frames already fed (tracker.flush
+        # docstring contract).
+        self.tracker.flush()
         return self.tracker.state
 
     def map_stats(self) -> dict:
+        self.tracker.flush()
         ms = self.tracker.ms
         return {
             "keyframes": int(ms.kf_valid.sum()),

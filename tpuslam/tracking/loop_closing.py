@@ -470,12 +470,20 @@ def correct_loop(
     new_t = res.t / jnp.maximum(res.s[:, None], 1e-9)
 
     # Re-map points through an observing keyframe's correction:
-    # x' = S_kw_new^-1 ( S_kw_old (x) ).
-    slots_j = jnp.asarray(slots)
+    # x' = S_kw_new^-1 ( S_kw_old (x) ). The slot list is PADDED to the
+    # keyframe capacity so these programs keep ONE shape regardless of
+    # map age — n_live-shaped gathers made every correction a fresh
+    # trace+compile (measured as a multi-second spike at each loop).
+    slots_pad = np.full((K,), -1, np.int32)
+    slots_pad[:n_live] = slots
+    slots_j = jnp.asarray(slots_pad)
+    live_row = slots_j >= 0
+    slots_safe = jnp.clip(slots_j, 0, K - 1)
     owner = jnp.full((ms.mp_capacity,), -1, jnp.int32)
-    obs = ms.kf_obs_mp[slots_j]  # (n_live, N)
+    obs = jnp.where(live_row[:, None],
+                    ms.kf_obs_mp[slots_safe], -1)  # (K, N)
     flat = obs.reshape(-1)
-    kf_of = jnp.repeat(slots_j, obs.shape[1])
+    kf_of = jnp.repeat(slots_safe, obs.shape[1])
     owner = owner.at[jnp.where(flat >= 0, flat, ms.mp_capacity)].set(
         kf_of.astype(jnp.int32), mode="drop")
     has_owner = owner >= 0

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 from dataclasses import dataclass, field
 from typing import List, NamedTuple, Optional, Tuple
 
@@ -406,6 +407,8 @@ def _triangulate_between(
     near_ok,         # (P,)
     focal: float,
     model: str = "pinhole",
+    enabled=None,    # () bool — gate for the fused superstep (a -1
+                     # partner slot disables the whole pass on device)
 ):
     """Create new map points between keyframes i and j.
 
@@ -461,6 +464,8 @@ def _triangulate_between(
     d = jnp.where(near_ok[None, :], d, jnp.inf)
     dup = jnp.min(d, axis=1) < 0.03 * jnp.maximum(chk.z1, 0.1)
     ok = ok & ~dup
+    if enabled is not None:
+        ok = ok & enabled
     ms, n_new = mapstate.add_points(
         ms, next_free,
         X, ms.kf_desc[slot_i], ms.kf_level[slot_i], ok,
@@ -521,6 +526,7 @@ def _fuse_into_kf(
     img_wh,
     level_widen: bool = False,
     model: str = "pinhole",
+    enabled=None,    # () bool — device gate for the fused superstep
 ):
     """Add missing map-point observations to keyframe `slot` by guided
     projection into its stored keypoints (ORBmatcher::Fuse,
@@ -588,6 +594,8 @@ def _fuse_into_kf(
     # BA refines what it can observe.
     good = (res.idx >= 0) & (chi2 <= 4.0 * pose_opt.CHI2_MONO)
 
+    if enabled is not None:
+        good = good & enabled
     existing = ms.kf_obs_mp[slot][kp]                     # (P,)
     link = good & (existing < 0)
     # Duplicate MERGE (MapPoint::Replace via ORBmatcher::Fuse,
@@ -648,6 +656,106 @@ def _run_local_ba(ms: mapstate.MapState, kf_ids, fixed, mp_ids,
         ms, kf_ids, mp_ids, res.kf_R, res.kf_t, res.points, pt_keep
     )
     return ms, res.total_chi2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cap", "focal", "model", "stereo", "use_depth",
+                     "fisheye", "hygiene", "iters", "n_free",
+                     "trust_region"))
+def _superstep_j(
+    ms: mapstate.MapState,
+    slot,             # () i32 new keyframe slot
+    feats: FrameFeatures,
+    assoc,            # (N,) keypoint -> map point
+    R, t,             # new keyframe pose
+    kf_ur,            # (N,) virtual right coords or None
+    sp_depth, sp_valid, sp_xc,   # depth-spawn inputs (use_depth only)
+    uvr,              # (N,2) right-cam pixels (fisheye) or None
+    prev2,            # (2,) i32 triangulation partners, -1 = disabled
+    fuse4,            # (4,) i32 fuse targets, -1 = disabled
+    kf_ids, fixed,    # (W,) BA window layout (free-first)
+    cull_cand,        # () i32 redundancy candidate, -1 = none
+    min_obs,          # () i32 tracked-point multi-observation gate
+    n_mp0,            # () i32 live point count before this superstep
+    cull_ratio,       # () f32 found-ratio culling threshold
+    cam_params, sigma2_lut, scale_lut, inv_sigma2_lut, img_wh,
+    bf, depth_th,
+    rig,              # (cam_params_r, R_rl, t_rl) or (None,)*3
+    cap: int,
+    focal: float,
+    model: str,
+    stereo: bool,
+    use_depth: bool,
+    fisheye: bool,
+    hygiene: bool,
+    iters: int,
+    n_free: int,
+    trust_region: bool,
+):
+    """The WHOLE visual keyframe superstep as ONE jitted program:
+    insert + triangulate(x2) + fuse(x4) + depth spawn + warm local BA +
+    hygiene + point culling + the deferred-commit scalars (redundancy,
+    tracked-ref count, window occupancy, covisibility snapshot).
+
+    This is LocalMapping::Run's per-keyframe pipeline
+    (/root/reference/src/LocalMapping.cc:74) compiled into a single
+    dispatch: the multi-dispatch version cost ~70 ms of host glue +
+    ~15 tunnel RPCs per keyframe on the network-attached chip — the
+    dominant term left in the production frame path after the per-frame
+    program was fused (SURVEY.md section 7.0). Partner/fuse slots gate
+    ON DEVICE (-1 disables a pass) so one compiled variant serves every
+    map age. Returns (ms, pend) with pend the deferred-commit scalar
+    tree (fetched one frame later; see _commit_superstep)."""
+    ms = mapstate.add_keyframe(ms, slot, R, t, feats, assoc,
+                               ur=kf_ur, uvr=uvr)
+    mp_ids, _local = mapstate.local_point_ids(ms, kf_ids, cap=cap)
+    safe = jnp.clip(mp_ids, 0, ms.mp_capacity - 1)
+    near_pos = ms.mp_pos[safe]
+    n_mp = n_mp0
+    for k in range(2):
+        prev = prev2[k]
+        near_ok = (mp_ids >= 0) & ms.mp_valid[safe]
+        ms, n_new = _triangulate_between(
+            ms, jnp.maximum(prev, 0), slot, n_mp, cam_params,
+            sigma2_lut, near_pos, near_ok, focal=focal, model=model,
+            enabled=prev >= 0)
+        n_mp = n_mp + n_new.astype(jnp.int32)
+    mp_ids, _local = mapstate.local_point_ids(ms, kf_ids, cap=cap)
+    for k in range(4):
+        fs = fuse4[k]
+        ms = _fuse_into_kf(
+            ms, jnp.maximum(fs, 0), mp_ids, cam_params, scale_lut,
+            inv_sigma2_lut, img_wh, level_widen=False, model=model,
+            enabled=fs >= 0)
+    if use_depth:
+        ms, n_new = _spawn_stereo_points(
+            ms, slot, sp_depth, sp_valid, n_mp, cam_params,
+            scale_lut, depth_th, xc=sp_xc)
+        n_mp = n_mp + n_new.astype(jnp.int32)
+    mp_ids, local = mapstate.local_point_ids(ms, kf_ids, cap=cap)
+    ms, chi2 = _run_local_ba(
+        ms, kf_ids, fixed, mp_ids, local, inv_sigma2_lut, cam_params,
+        iters=iters, model=model, stereo=stereo, bf=bf, n_free=n_free,
+        trust_region=trust_region, fisheye=fisheye, rig=rig)
+    if hygiene:
+        mp_ids, local = mapstate.local_point_ids(ms, kf_ids, cap=cap)
+        ms = mapstate.refresh_point_hygiene(ms, kf_ids, mp_ids, local,
+                                            scale_lut)
+    ms = mapstate.cull_points(ms, cull_ratio, min_visible=8)
+    red = jnp.where(
+        cull_cand >= 0,
+        mapstate.keyframe_redundancy(ms, jnp.maximum(cull_cand, 0)),
+        jnp.float32(0.0))
+    pend = {
+        "n_mp": n_mp,
+        "chi2": chi2,
+        "red": red,
+        "ref": mapstate.kf_tracked_points(ms, slot, min_obs),
+        "win_count": mapstate.count_window_points(ms, kf_ids),
+        "covis": mapstate.covisibility_weights(ms, slot),
+    }
+    return ms, pend
 
 
 # ---------------------------------------------------------------------------
@@ -845,6 +953,7 @@ class MonoTracker:
         # frame's larger fetch overlap its successor's.
         from concurrent.futures import ThreadPoolExecutor
         self._fetch_pool = ThreadPoolExecutor(max_workers=2)
+        self.retire_wait_ms = []      # per-retire main-thread block (ms)
         self._extra_zero = None       # cached dummy `extra` upload
         self._carry = None            # _FrameCarry on device
         self._carry_valid = False
@@ -1113,8 +1222,18 @@ class MonoTracker:
         # reads a completed future instead of paying the round trip
         # inline. Two workers let a keyframe frame's fetch overlap the
         # next frame's (the RPCs run concurrently on the wire).
-        fut = self._fetch_pool.submit(
-            _poll_fetch, (small, [v for v, _, _ in items]))
+        if os.environ.get("TPUSLAM_SYNC_FETCH"):
+            class _Now:
+                def __init__(self, v):
+                    self._v = v
+
+                def result(self):
+                    return self._v
+            fut = _Now(jax.device_get(
+                (small, [v for v, _, _ in items])))
+        else:
+            fut = self._fetch_pool.submit(
+                _poll_fetch, (small, [v for v, _, _ in items]))
         self._inflight.append(dict(
             small=small, feats=feats, assoc=assoc, vis_tgt=vis_tgt,
             fnd_tgt=fnd_tgt, stereo=stereo_t, ts=ts, ref=ref,
@@ -1165,34 +1284,82 @@ class MonoTracker:
         else:
             extra = jnp.zeros((1, 1), jnp.uint8)
         aux = np.array([1.0, 0.0], np.float32)
+        N = self.cfg.orb.n_features
+        dummy_feats = FrameFeatures(
+            uv=jnp.zeros((N, 2), jnp.float32),
+            level=jnp.zeros((N,), jnp.int32),
+            angle=jnp.zeros((N,), jnp.float32),
+            response=jnp.zeros((N,), jnp.float32),
+            desc=jnp.zeros((N, 8), jnp.uint32),
+            valid=jnp.zeros((N,), bool))
+        if self._use_depth:
+            sp_depth = jnp.zeros((N,), jnp.float32)
+            sp_valid = jnp.zeros((N,), bool)
+            sp_xc = (jnp.zeros((N, 3), jnp.float32)
+                     if self._fisheye_stereo else None)
+            d_ur = jnp.full((N,), -1.0, jnp.float32)
+        else:
+            sp_depth = jnp.zeros((1,), jnp.float32)
+            sp_valid = jnp.zeros((1,), bool)
+            sp_xc = None
+            d_ur = None
+        d_uvr = (jnp.full((N, 2), -1.0, jnp.float32)
+                 if self._fisheye_stereo else None)
+        assoc0 = jnp.full((N,), -1, jnp.int32)
+        scfg = self.cfg.solver
         last = None
         cap = 512
         while True:
             mp_ids, local = mapstate.local_point_ids(self.ms, kf_ids,
                                                      cap=cap)
             last = self._fp(img, extra, carry, self.ms, mp_ids, aux)[0]
-            near_pos = self.ms.mp_pos[jnp.clip(mp_ids, 0,
-                                               self.ms.mp_capacity - 1)]
-            near_ok = jnp.zeros((cap,), bool)
-            _ms, _n = _triangulate_between(
-                self.ms, 0, 1, jnp.int32(0), self.cam_params,
-                self.sigma2_lut, near_pos, near_ok,
-                focal=float(self.cfg.camera.fx), model=self.model)
-            _ms = _fuse_into_kf(
-                self.ms, 0, mp_ids, self.cam_params, self.scale_lut,
-                self.inv_sigma2_lut, self.img_wh,
-                level_widen=self._use_imu, model=self.model)
-            _ms, _chi2 = _run_local_ba(
-                self.ms, kf_ids, fixed, mp_ids, local,
-                self.inv_sigma2_lut, self.cam_params,
-                iters=self.cfg.solver.ba_warm_iters, model=self.model,
-                stereo=self._ba_stereo, bf=jnp.float32(self.cfg.camera.bf),
-                n_free=mcfg.local_window,
-                trust_region=self.cfg.solver.ba_warm_trust_region,
-                fisheye=self._fisheye_stereo, rig=self._rig)
-            if _HYGIENE:
-                _ms = mapstate.refresh_point_hygiene(
-                    self.ms, kf_ids, mp_ids, local, self.scale_lut)
+            if not self._use_imu:
+                _ms, _pend = _superstep_j(
+                    self.ms, jnp.int32(0), dummy_feats, assoc0,
+                    jnp.eye(3, dtype=jnp.float32),
+                    jnp.zeros(3, jnp.float32), d_ur,
+                    sp_depth, sp_valid, sp_xc, d_uvr,
+                    jnp.full((2,), -1, jnp.int32),
+                    jnp.full((4,), -1, jnp.int32), kf_ids, fixed,
+                    jnp.int32(-1), jnp.int32(3), jnp.int32(0),
+                    jnp.float32(mcfg.cull_found_ratio),
+                    self.cam_params, self.sigma2_lut, self.scale_lut,
+                    self.inv_sigma2_lut, self.img_wh,
+                    jnp.float32(self.cfg.camera.bf),
+                    jnp.float32(self.depth_th),
+                    (self._rig if self._fisheye_stereo
+                     else (None, None, None)),
+                    cap=cap, focal=float(self.cfg.camera.fx),
+                    model=self.model, stereo=self._ba_stereo,
+                    use_depth=self._use_depth,
+                    fisheye=self._fisheye_stereo, hygiene=_HYGIENE,
+                    iters=scfg.ba_warm_iters, n_free=mcfg.local_window,
+                    trust_region=scfg.ba_warm_trust_region)
+                last = _pend["covis"]
+            else:
+                near_pos = self.ms.mp_pos[jnp.clip(
+                    mp_ids, 0, self.ms.mp_capacity - 1)]
+                near_ok = jnp.zeros((cap,), bool)
+                _ms, _n = _triangulate_between(
+                    self.ms, 0, 1, jnp.int32(0), self.cam_params,
+                    self.sigma2_lut, near_pos, near_ok,
+                    focal=float(self.cfg.camera.fx), model=self.model)
+                _ms = _fuse_into_kf(
+                    self.ms, 0, mp_ids, self.cam_params, self.scale_lut,
+                    self.inv_sigma2_lut, self.img_wh,
+                    level_widen=self._use_imu, model=self.model)
+                _ms, _chi2 = _run_local_ba(
+                    self.ms, kf_ids, fixed, mp_ids, local,
+                    self.inv_sigma2_lut, self.cam_params,
+                    iters=scfg.ba_warm_iters, model=self.model,
+                    stereo=self._ba_stereo,
+                    bf=jnp.float32(self.cfg.camera.bf),
+                    n_free=mcfg.local_window,
+                    trust_region=scfg.ba_warm_trust_region,
+                    fisheye=self._fisheye_stereo, rig=self._rig)
+                if _HYGIENE:
+                    _ms = mapstate.refresh_point_hygiene(
+                        self.ms, kf_ids, mp_ids, local, self.scale_lut)
             if cap >= mcfg.ba_point_cap:
                 break
             cap *= 2
@@ -1206,6 +1373,21 @@ class MonoTracker:
                 self.loop.db, self.ms, jnp.int32(0), mask)
             _ = loop_closing.verify_loop_device(
                 self.ms, 0, 1, self.cam_params, jax.random.PRNGKey(0))
+            # Correction phase (pose graph + point remap + seam fuse):
+            # shapes are capacity/bucket-static (edge bucket 1024,
+            # slots padded to K), so a throwaway 3-KF dummy traces the
+            # exact programs a real correction runs. The LoopState is
+            # a throwaway (correct_loop records the edge in it).
+            Kc = self.ms.kf_capacity
+            ls = loop_closing.LoopState(db=self.loop.db)
+            _ms2 = loop_closing.correct_loop(
+                ls, self.ms, 2, 0, [0, 1, 2], 1.0,
+                np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                fix_scale=self._use_imu,
+                gravity_w=None,
+                covm=np.zeros((Kc, Kc), np.int32))
+            _ms2, _nf = loop_closing.seam_fuse(self.ms, [0, 1, 2], 2, 0)
+            _ = mapstate.covisibility_matrix(self.ms)
         jax.block_until_ready(last)
 
     def _retire(self, rec):
@@ -1215,7 +1397,10 @@ class MonoTracker:
         keyframe decision + creation, trajectory bookkeeping."""
         tcfg = self.cfg.tracking
         with self.timer.stage("retire_fetch"):
+            t0w = time.perf_counter()
             small, dvals = rec["fut"].result()
+            self.retire_wait_ms.append(
+                1e3 * (time.perf_counter() - t0w))
         # Handlers first (superstep cull/ref/loop + world corrections):
         # mirrors the sync ordering where _commit_mapping runs at frame
         # start before any tracking decision.
@@ -1246,8 +1431,14 @@ class MonoTracker:
                 # The in-flight retry (tracked from the last good pose
                 # with zero velocity — the device carry holds exactly
                 # that when a frame misses) also failed: hand over to
-                # the loss state machine (reloc / Atlas recovery).
+                # the loss state machine (reloc / Atlas recovery). The
+                # pipelined misses count toward the loss patience —
+                # they are lost frames exactly like the sync path's
+                # (otherwise the Atlas recovery clock starts 2-3 frames
+                # late and patience-boundary behavior depends on
+                # pipeline depth).
                 self.state = "LOST"
+                self.lost_count = self._pipe_fail
                 self._carry_valid = False
                 self.vel_R = np.eye(3, dtype=np.float32)
                 self.vel_t = np.zeros(3, np.float32)
@@ -2188,11 +2379,26 @@ class MonoTracker:
         self._kf_version = getattr(self, "_kf_version", 0) + 1
         self._invalidate_window()
 
-    def _window(self, free: Optional[int] = None):
+    def _bucket_cap(self) -> int:
+        """Pow2 landmark-bucket capacity from the deferred occupancy
+        estimate (see _window for the rationale)."""
+        mcfg = self.cfg.map
+        est = self._win_count_est if self._win_count_est > 0 \
+            else self.n_mp
+        count = int(1.3 * max(est, 256))
+        cap = 512
+        while cap < min(count, mcfg.ba_point_cap):
+            cap *= 2
+        return min(cap, mcfg.ba_point_cap)
+
+    def _window(self, free: Optional[int] = None,
+                slots_only: bool = False):
         """Local covisibility window as fixed-shape arrays for the jitted
         BA/matching programs. Two-level cache: slot selection (host,
         syncs on covisibility weights) keyed by the keyframe set; point
-        gather (pure device, lazy) keyed by the map version."""
+        gather (pure device, lazy) keyed by the map version.
+        `slots_only` skips the point gather (the fused superstep
+        computes its own gathers on device)."""
         mcfg = self.cfg.map
         W = mcfg.local_window + mcfg.local_fixed
         target = mcfg.local_window if free is None else free
@@ -2228,6 +2434,8 @@ class MonoTracker:
             self._win_slots = (jnp.asarray(kf_ids), jnp.asarray(fixed))
             self._win_slots_key = skey
             self._win_pts_key = None
+        if slots_only:
+            return (self._win_slots[0], self._win_slots[1], None, None)
         pkey = (getattr(self, "_ms_version", 0), target)
         if getattr(self, "_win_pts_key", None) != pkey:
             # Landmark-axis shape bucket: the BA grid (and every
@@ -2242,15 +2450,8 @@ class MonoTracker:
             # (measured 48 ms each in the r04 e2e loop). Young maps
             # (no estimate yet) fall back to the global live-point
             # count, which upper-bounds any window.
-            est = self._win_count_est if self._win_count_est > 0 \
-                else self.n_mp
-            count = int(1.3 * max(est, 256))
-            cap = 512
-            while cap < min(count, mcfg.ba_point_cap):
-                cap *= 2
-            cap = min(cap, mcfg.ba_point_cap)
             mp_ids, local = mapstate.local_point_ids(
-                self.ms, self._win_slots[0], cap=cap
+                self.ms, self._win_slots[0], cap=self._bucket_cap()
             )
             self._win_pts = (mp_ids, local)
             self._win_pts_key = pkey
@@ -3275,13 +3476,20 @@ class MonoTracker:
         slot = self._alloc_kf_slot()
         if slot is None:
             return
+        kf_ur = None
+        if (self._use_depth
+                and self._cur_stereo is not None):
+            kf_ur = self._cur_stereo.u_right
+        kf_uvr = (self._cur_stereo_uvr
+                  if self._fisheye_stereo else None)
+        if not self._use_imu and not os.environ.get("TPUSLAM_NO_FUSED_SS"):
+            # Visual sessions: the WHOLE superstep is one fused jitted
+            # dispatch (insert + triangulate + fuse + spawn + BA +
+            # hygiene + cull + commit scalars) — see _superstep_j.
+            self._create_keyframe_fused(slot, feats, R, t, assoc,
+                                        kf_ur, kf_uvr)
+            return
         with self.timer.stage("kf_insert"):
-            kf_ur = None
-            if (self._use_depth
-                    and self._cur_stereo is not None):
-                kf_ur = self._cur_stereo.u_right
-            kf_uvr = (self._cur_stereo_uvr
-                      if self._fisheye_stereo else None)
             self.ms = mapstate.add_keyframe(self.ms, slot, R, t, feats,
                                             assoc, ur=kf_ur, uvr=kf_uvr)
         self.kf_slots.append(slot)
@@ -3459,6 +3667,88 @@ class MonoTracker:
         # visual sessions defer the host round trips to the next frame.
         if (self._use_imu
                 or not self.cfg.tracking.async_mapping):
+            self._commit_mapping()
+
+    def _create_keyframe_fused(self, slot, feats, R, t, assoc,
+                               kf_ur, kf_uvr):
+        """Visual-session keyframe superstep: bookkeeping + ONE fused
+        device dispatch (_superstep_j) + the loop/merge detection
+        dispatches, all deferred-committed. Replaces ~15 dispatches and
+        ~70 ms of host glue per keyframe with a single program launch."""
+        self.kf_slots.append(slot)
+        self.kf_ts[slot] = self.last_ts
+        self._invalidate_kf_set()
+        self.frames_since_kf = 0
+        # Covisibility-ranking fallback for the window selection: the
+        # new keyframe is not in the device map yet (insertion happens
+        # inside the fused program), so a missing snapshot anchors on
+        # the previous keyframe instead.
+        mcfg = self.cfg.map
+        if (getattr(self, "_covis_host", None) is None
+                and len(self.kf_slots) > mcfg.local_window
+                + mcfg.local_fixed and len(self.kf_slots) >= 2):
+            anchor = self.kf_slots[-2]
+            self._covis_host = (anchor, np.asarray(
+                mapstate.covisibility_weights(self.ms, anchor)))
+        kf_ids, fixed, _, _ = self._window(slots_only=True)
+        cull_cand = None
+        if len(self.kf_slots) > 6:
+            cull_cand = self.kf_slots[-3]
+        prev2 = np.full((2,), -1, np.int32)
+        partners = self.kf_slots[-3:-1]
+        prev2[:len(partners)] = partners
+        fuse4 = np.full((4,), -1, np.int32)
+        targets = self.kf_slots[-4:]
+        fuse4[:len(targets)] = targets
+        min_obs = 3 if len(self.kf_slots) > 2 else 2
+        if self._use_depth and self._cur_stereo is not None:
+            sm = self._cur_stereo
+            sp_depth, sp_valid = sm.depth, sm.valid
+            sp_xc = self._cur_stereo_xc
+        else:
+            sp_depth = jnp.zeros((1,), jnp.float32)
+            sp_valid = jnp.zeros((1,), bool)
+            sp_xc = None
+        scfg = self.cfg.solver
+        with self.timer.stage("superstep_dispatch"):
+            self.ms, pend = _superstep_j(
+                self.ms, jnp.int32(slot), feats, assoc,
+                jnp.asarray(R), jnp.asarray(t), kf_ur,
+                sp_depth, sp_valid, sp_xc, kf_uvr,
+                jnp.asarray(prev2), jnp.asarray(fuse4), kf_ids, fixed,
+                jnp.int32(cull_cand if cull_cand is not None else -1),
+                jnp.int32(min_obs), jnp.int32(self.n_mp),
+                jnp.float32(mcfg.cull_found_ratio),
+                self.cam_params, self.sigma2_lut, self.scale_lut,
+                self.inv_sigma2_lut, self.img_wh,
+                jnp.float32(self.cfg.camera.bf),
+                jnp.float32(self.depth_th),
+                self._rig if self._fisheye_stereo else (None, None, None),
+                cap=self._bucket_cap(),
+                focal=float(self.cfg.camera.fx), model=self.model,
+                stereo=self._ba_stereo, use_depth=self._use_depth,
+                fisheye=self._fisheye_stereo, hygiene=_HYGIENE,
+                iters=scfg.ba_warm_iters, n_free=mcfg.local_window,
+                trust_region=scfg.ba_warm_trust_region)
+        self._invalidate_window()
+        if self.enable_loop_closing and not self.frozen:
+            with self.timer.stage("loop_mark"):
+                loop_closing.on_new_keyframe(self.loop, self.ms, slot)
+            with self.timer.stage("loop_detect"):
+                mask = loop_closing.loop_excl_mask(
+                    self.loop, slot, self.kf_slots, self.ms.kf_capacity)
+                if mask is not None:
+                    pend["loop"] = loop_closing.detect_loop_device(
+                        self.loop.db, self.ms, jnp.int32(slot),
+                        jnp.asarray(mask))
+            if self.atlas is not None and self.atlas.n_maps:
+                with self.timer.stage("merge_detect"):
+                    pend["merge"] = loop_closing.merge_scores_device(
+                        self.ms, slot, self.atlas)
+        self._superstep_busy = True
+        self._defer(pend, functools.partial(self._commit_superstep,
+                                            slot, cull_cand))
+        if not self.cfg.tracking.async_mapping:
             self._commit_mapping()
 
     def _commit_mapping(self):
