@@ -953,6 +953,7 @@ class MonoTracker:
         # frame's larger fetch overlap its successor's.
         from concurrent.futures import ThreadPoolExecutor
         self._fetch_pool = ThreadPoolExecutor(max_workers=2)
+        self._gba_progs = {}          # (iters, cap, d) -> jitted chunk
         self.retire_wait_ms = []      # per-retire main-thread block (ms)
         self._extra_zero = None       # cached dummy `extra` upload
         self._carry = None            # _FrameCarry on device
@@ -1388,6 +1389,20 @@ class MonoTracker:
                 covm=np.zeros((Kc, Kc), np.int32))
             _ms2, _nf = loop_closing.seam_fuse(self.ms, [0, 1, 2], 2, 0)
             _ = mapstate.covisibility_matrix(self.ms)
+            # Post-loop background GBA chunks: trace the sharded-GBA
+            # program for the common keyframe buckets (the landmark
+            # axis is static, _gba_sharded_prog). A loop closure on a
+            # >GBA_WINDOW map otherwise pays the full solver trace
+            # inside the frames right after the correction — measured
+            # ~10 s spikes (bench e2e max_ms) before this.
+            for kb in (2 * self.GBA_WINDOW, 4 * self.GBA_WINDOW):
+                if kb > self.ms.kf_capacity:
+                    break
+                # n == kb slots forces the K=kb bucket; the dummy map is
+                # empty so the solve is vacuous and the result discarded.
+                self._run_global_ba_sharded(
+                    [0, 1, 2] + [0] * (kb - 3), self.GBA_CHUNK_ITERS,
+                    commit=False)
         jax.block_until_ready(last)
 
     def _retire(self, rec):
@@ -3232,6 +3247,11 @@ class MonoTracker:
                 R_np, t_np = self.last_R, self.last_t
         return FrameResult("OK", R_np, t_np, n_inl, is_keyframe=is_kf)
 
+    GBA_SHARDED_CAP = None  # landmark capacity of the sharded global
+                            # problem; None = cfg.map.max_points.
+                            # STATIC (not n_mp-bucketed) so a session
+                            # has ONE landmark shape per chunk variant
+                            # — prewarmable, no mid-run retrace.
     GBA_WINDOW = 64  # largest map solved as ONE dense local_ba problem;
                      # bigger maps go landmark-sharded over ALL live KFs
 
@@ -3282,19 +3302,70 @@ class MonoTracker:
             fisheye=self._fisheye_stereo, rig=self._rig)
         self._invalidate_window()
 
-    def _run_global_ba_sharded(self, slots, iters: int):
+    def _gba_sharded_prog(self, iters: int):
+        """Build (once) the WHOLE sharded-GBA chunk as ONE cached jitted
+        program: window gather + problem grids + shard_map'd LM solve +
+        result scatter. `dist_ba.distributed_optimize` constructs a
+        fresh `shard_map` closure per call, so calling it directly from
+        the chunk path re-TRACED the full solver at EVERY chunk —
+        measured as ~10 s latency spikes on the 3-4 frames following a
+        loop closure (the bench e2e max_ms). A stable function object
+        lets jax.jit cache by shape: the first chunk after a map-size
+        bucket change traces, every later chunk is a single dispatch —
+        and prewarm() can pay the common buckets' traces up front."""
+        from jax.sharding import Mesh
+
+        from tpuslam.parallel import dist_ba
+
+        cap = int(self.GBA_SHARDED_CAP or self.cfg.map.max_points)
+        devs = jax.devices()
+        d = 1
+        while d * 2 <= len(devs) and cap % (d * 2) == 0:
+            d *= 2
+        key = (iters, cap, d)
+        prog = self._gba_progs.get(key)
+        if prog is not None:
+            return prog, cap
+        mesh = Mesh(np.asarray(devs[:d]), (dist_ba.AXIS,))
+        stereo = self._ba_stereo
+        fisheye = self._fisheye_stereo
+        model = self.model
+        bf = float(self.cfg.camera.bf)
+        rig = self._rig
+
+        @jax.jit
+        def run(ms, kf_ids, fixed, cam_params, inv_sigma2_lut):
+            mp_ids, local = mapstate.local_point_ids(ms, kf_ids,
+                                                     cap=cap)
+            prob = mapstate.build_ba_problem(
+                ms, kf_ids, fixed, mp_ids, local, inv_sigma2_lut,
+                stereo=stereo, fisheye=fisheye)
+            rig_kw = ({"cam_params_r": rig[0], "R_rl": rig[1],
+                       "t_rl": rig[2]} if fisheye else {})
+            res = dist_ba.distributed_optimize(
+                prob, cam_params, mesh, iters=iters, model=model,
+                bf=jnp.float32(bf), **rig_kw)
+            keep = (jnp.any(res.inlier, axis=0)
+                    | ~jnp.any(prob.obs_mask, axis=0))
+            return mapstate.scatter_ba_result(
+                ms, kf_ids, mp_ids, res.kf_R, res.kf_t,
+                res.points, keep)
+
+        self._gba_progs[key] = run
+        return run, cap
+
+    def _run_global_ba_sharded(self, slots, iters: int,
+                               commit: bool = True):
         """Landmark-sharded global BA over ALL live keyframes: the
         replicated camera system stays small (bucketed K <= pool size)
         while the landmark blocks shard across all local devices and the
         reduced Schur system is psum-summed over the mesh
         (parallel/dist_ba.distributed_optimize; the scale-out design
-        SURVEY.md section 5.7 specifies). Keyframe and landmark axes are
-        bucketed to powers of two so the kernel compiles O(log^2)
-        times."""
-        from jax.sharding import Mesh
-
-        from tpuslam.parallel import dist_ba
-
+        SURVEY.md section 5.7 specifies). The keyframe axis is bucketed
+        to powers of two and the landmark axis is STATIC
+        (GBA_SHARDED_CAP, default cfg.map.max_points) so one session
+        compiles O(log) chunk variants, prewarmable up front.
+        `commit=False` (prewarm) discards the result."""
         n = len(slots)
         if n < 3:
             return
@@ -3306,37 +3377,14 @@ class MonoTracker:
         kf_ids[:n] = slots
         fixed = np.ones((K,), bool)
         fixed[2:n] = False
-        kf_ids_j = jnp.asarray(kf_ids)
-        # Global problem: the host-tracked live-point count bounds the
-        # landmark axis (no device count fetch on the chunk path).
-        cap = 4096
-        while cap < min(int(1.2 * self.n_mp), self.cfg.map.max_points):
-            cap *= 2
-        cap = min(cap, self.cfg.map.max_points)
-        mp_ids, local = mapstate.local_point_ids(
-            self.ms, kf_ids_j, cap=cap)
-        prob = mapstate.build_ba_problem(
-            self.ms, kf_ids_j, jnp.asarray(fixed), mp_ids, local,
-            self.inv_sigma2_lut, stereo=self._ba_stereo,
-            fisheye=self._fisheye_stereo)
-        rig_kw = ({"cam_params_r": self._rig[0], "R_rl": self._rig[1],
-                   "t_rl": self._rig[2]} if self._fisheye_stereo else {})
-        devs = jax.devices()
-        d = 1
-        while d * 2 <= len(devs) and cap % (d * 2) == 0:
-            d *= 2
+        run, _cap = self._gba_sharded_prog(iters)
         with self.timer.stage("gba_sharded"):
-            mesh = Mesh(np.asarray(devs[:d]), (dist_ba.AXIS,))
-            res = dist_ba.distributed_optimize(
-                prob, self.cam_params, mesh, iters=iters,
-                model=self.model, bf=jnp.float32(self.cfg.camera.bf),
-                **rig_kw)
-            keep = (jnp.any(res.inlier, axis=0)
-                    | ~jnp.any(prob.obs_mask, axis=0))
-            self.ms = mapstate.scatter_ba_result(
-                self.ms, kf_ids_j, mp_ids, res.kf_R, res.kf_t,
-                res.points, keep)
-        self._invalidate_window()
+            ms2 = run(self.ms, jnp.asarray(kf_ids), jnp.asarray(fixed),
+                      self.cam_params, self.inv_sigma2_lut)
+            if commit:
+                self.ms = ms2
+        if commit:
+            self._invalidate_window()
 
     # -- background (chunked, abortable) global BA ---------------------------
 
